@@ -1,0 +1,10 @@
+import os
+
+# Run the whole suite on a virtual 8-device CPU mesh: multi-chip sharding is
+# validated without TPU hardware, and tests stay deterministic/fast.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,257 @@
+"""Unified typed configuration tree.
+
+The reference spreads configuration over three surfaces: ~60 argparse flags
+(VLN-HAMT/finetune_src/r2r/parser.py:8-217), pretrain JSON overlays
+(VLN-HAMT/pretrain_src/config/pretrain_r2r.json) and a mutated HuggingFace
+PretrainedConfig (VLN-HAMT/finetune_src/models/vlnbert_init.py:37-76).  Here a
+single dataclass tree covers all of them; presets reproduce the released run
+configurations (scripts/run_r2r.sh in both stacks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Transformer core configuration.
+
+    Mirrors the fields the reference reads off its mutated BertConfig
+    (VLN-HAMT/finetune_src/models/vlnbert_init.py:37-76 and
+    VLN-DUET/map_nav_src/models/vlnbert_init.py:13-77).
+    """
+
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_attention_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
+    pred_head_dropout_prob: float = 0.1
+    hidden_act: str = "gelu_erf"  # exact erf gelu (vilmodel_cmt.py:27-33)
+
+    # LXMERT-style layer counts (9 lang / 0 hist / 0 obs / 4 cross).
+    num_l_layers: int = 9
+    num_r_layers: int = 0
+    num_h_layers: int = 0
+    num_x_layers: int = 4
+    num_pano_layers: int = 2  # HAMT hist pano sub-encoder / DUET pano encoder
+
+    image_feat_size: int = 768
+    angle_feat_size: int = 4
+    obj_feat_size: int = 0
+
+    max_action_steps: int = 50  # HAMT 50, DUET 100 (step-position vocab)
+
+    # Behavioural switches shared by both stacks.
+    no_lang_ca: bool = False
+    update_lang_bert: bool = True
+    fix_lang_embedding: bool = False
+    fix_hist_embedding: bool = False
+    fix_obs_embedding: bool = False
+    fix_pano_embedding: bool = False
+    fix_local_branch: bool = False
+    act_pred_token: str = "ob_txt"  # HAMT head variants (vilmodel_cmt.py:1187-1199)
+
+    # DUET-specific.
+    graph_sprels: bool = True
+    glocal_fuse: bool = True  # dynamic fusion sigma(W[gmap_cls; vp_cls])
+    use_lang2visn_attn: bool = False
+    fusion: str = "dynamic"  # local | global | avg | dynamic
+
+    # Imagination modality (both stacks; parser.py:107-129).
+    imagine_enc_pano: bool = True
+    imagination_data_v2: bool = True
+    bypass_imag_encoder: bool = True
+    max_imagination_len: int = 20
+    use_cosine_aux_loss: bool = True
+    aux_loss_type: str = "cosine"  # cosine | infonce | margin
+    cosine_weight: float = 0.5
+    infonce_temperature: float = 0.3
+    contrastive_margin_value: float = 1.0
+    concat_imagine_with: str = "language"  # language | visual
+    fix_imagine_embeds: bool = False
+    fix_lang_inside_cosine_model: bool = False  # DUET: detach txt in aux loss
+    no_loss_test: bool = False
+
+    # Numerics: params always f32; matmul/attention compute dtype.
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+@dataclass(frozen=True)
+class EnvConfig:
+    """Compiled-environment capacities (fixed shapes for XLA)."""
+
+    views: int = 36  # discretized 30-degree viewpoints
+    max_candidates: int = 14  # max graph degree observed in MP3D is ~13
+    max_obs_tokens: int = 48  # cands + [STOP] + non-cand pano views, padded
+    max_nodes: int = 352  # max viewpoints per scan (padded across scans)
+    max_action_len: int = 15  # HAMT episode cap (DUET also 15 in released cfg)
+    max_instr_len: int = 60  # HAMT 60, DUET 200
+    max_gt_path_len: int = 8  # R2R ground-truth paths are 4-7 nodes
+    max_gmap_nodes: int = 64  # DUET topo-map node buffer
+    error_margin: float = 3.0  # success threshold in metres (env.py:28)
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 1e-5
+    optim: str = "adamw"
+    weight_decay: float = 0.0
+    batch_size: int = 8
+    iters: int = 100_000
+    log_every: int = 2000
+    max_grad_norm: float = 40.0
+    feat_dropout: float = 0.4
+    ml_weight: float = 0.2
+    teacher_weight: float = 1.0
+    gamma: float = 0.9  # A2C discount (HAMT; DUET released config uses 0)
+    entropy_loss_weight: float = 0.01
+    normalize_loss: str = "total"  # total | batch | none
+    ignoreid: int = -100
+    train_alg: str = "imitation"  # imitation | dagger (DUET), sample (HAMT IL+RL)
+    expert_policy: str = "spl"  # spl | ndtw (DUET teacher)
+    # Three-stage imagination warm-up (parser.py:112-113, main.py:200-278).
+    experimental_warmup: bool = True
+    experimental_warmup_type: str = "variant4"
+    warmup_stage1_iters: int = 2000  # train aux/imagine modules only
+    warmup_stage2_iters: int = 4000  # unfreeze rest at reduced lr
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class PretrainConfig:
+    """Task-mixing pretrain loop (pretrain_src/config/pretrain_r2r.json)."""
+
+    tasks: tuple[str, ...] = ("mlm", "sap", "sar", "sprel", "mrc", "itm")
+    mix_ratio: tuple[int, ...] = (5, 1, 1, 1, 2, 2)
+    lr: float = 5e-5
+    batch_size: int = 16
+    num_train_steps: int = 200_000
+    warmup_steps: int = 10_000
+    gradient_accumulation_steps: int = 1
+    max_grad_norm: float = 5.0
+    log_steps: int = 1000
+    valid_steps: int = 5000
+    mlm_prob: float = 0.15
+    mrc_prob: float = 0.15
+    seed: int = 0
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh axes: data (DP over batch) x model (TP over heads/ffn)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    data_parallelism: int = -1  # -1: all devices on the data axis
+    model_parallelism: int = 1
+
+
+@dataclass(frozen=True)
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    env: EnvConfig = field(default_factory=EnvConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    pretrain: PretrainConfig = field(default_factory=PretrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    agent: str = "hamt"  # hamt | duet
+    dataset: str = "r2r"  # r2r | r2r_back | r4r | rxr | cvdn | reverie | soon
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def _replace(cfg: Config, path: str, **kw: Any) -> Config:
+    sub = dataclasses.replace(getattr(cfg, path), **kw)
+    return dataclasses.replace(cfg, **{path: sub})
+
+
+def hamt_r2r_config() -> Config:
+    """Released HAMT-Imagine R2R configuration
+    (VLN-HAMT/finetune_src/scripts/run_r2r.sh:1-83)."""
+    cfg = Config(agent="hamt")
+    cfg = _replace(
+        cfg, "model",
+        fix_lang_embedding=True, fix_hist_embedding=True,
+        max_action_steps=50, act_pred_token="ob_txt",
+    )
+    cfg = _replace(cfg, "env", max_instr_len=60)
+    return cfg
+
+
+def duet_r2r_config() -> Config:
+    """Released DUET-Imagine R2R configuration
+    (VLN-DUET/map_nav_src/scripts/run_r2r.sh:1-87)."""
+    cfg = Config(agent="duet")
+    cfg = _replace(
+        cfg, "model",
+        max_action_steps=100, graph_sprels=True, glocal_fuse=True,
+        fix_lang_inside_cosine_model=True, fusion="dynamic",
+    )
+    cfg = _replace(cfg, "env", max_instr_len=200)
+    cfg = _replace(cfg, "train", train_alg="dagger", gamma=0.0)
+    return cfg
+
+
+def tiny_test_config(agent: str = "hamt") -> Config:
+    """Small shapes for unit tests / CPU mesh dry-runs."""
+    cfg = hamt_r2r_config() if agent == "hamt" else duet_r2r_config()
+    cfg = _replace(
+        cfg, "model",
+        hidden_size=64, num_attention_heads=4, intermediate_size=128,
+        num_l_layers=2, num_x_layers=2, num_pano_layers=1,
+        image_feat_size=32, vocab_size=128, max_position_embeddings=64,
+        max_imagination_len=4, max_action_steps=16,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pred_head_dropout_prob=0.0, compute_dtype="float32",
+    )
+    cfg = _replace(
+        cfg, "env",
+        max_candidates=7, max_obs_tokens=20, max_nodes=24, views=12,
+        max_action_len=6, max_instr_len=16, max_gt_path_len=6,
+        max_gmap_nodes=12,
+    )
+    cfg = _replace(cfg, "train", batch_size=2, feat_dropout=0.0)
+    return cfg
+
+
+def config_to_json(cfg: Config) -> str:
+    return json.dumps(dataclasses.asdict(cfg), indent=2, default=str)
+
+
+def config_from_json(text: str) -> Config:
+    raw = json.loads(text)
+
+    def build(cls, data):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in data.items():
+            if k not in fields:
+                continue
+            ftype = fields[k].type
+            if isinstance(v, dict):
+                sub_cls = {
+                    "model": ModelConfig, "env": EnvConfig, "train": TrainConfig,
+                    "pretrain": PretrainConfig, "mesh": MeshConfig,
+                }.get(k)
+                kwargs[k] = build(sub_cls, v) if sub_cls else v
+            elif isinstance(v, list):
+                kwargs[k] = tuple(v)
+            else:
+                kwargs[k] = v
+        del ftype
+        return cls(**kwargs)
+
+    return build(Config, raw)

@@ -1,0 +1,261 @@
+"""Batched HAMT episode rollout as one XLA program.
+
+The reference's rollout (VLN-HAMT/finetune_src/r2r/agent_cmt.py:371-759) is a
+python loop that alternates host-side feature packing, per-item C++ simulator
+calls, and CUDA forwards.  Here the whole episode — language/imagine/align
+prologue, per-step visual forward, action selection, history update, env
+transition, reward shaping, and the A2C backward pass — is a pure function of
+arrays, with the time axis expressed as jax.lax.scan, so train and eval each
+compile to a single program.
+
+Semantics parity notes:
+- teacher CE uses sum reduction then * ml_weight / batch
+  (agent_cmt.py:105,547,747)
+- items that pick STOP still append one history token but freeze afterwards
+  (:586-609); hist length counting matches :607-609
+- RL reward shaping: +-2 terminal w/ nDTW bonus, +-1 move shaping with
+  delta-nDTW, near-miss penalty (:615-653); the partial-path nDTW uses the
+  incremental DTW row from envx.env
+- A2C: discounted returns seeded with the critic value of the final state for
+  unfinished items, 0.5 L2 critic loss, entropy bonus under 'sample'
+  (:661-744)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vln_imagine_tpu.config import Config
+from vln_imagine_tpu.envx import env as envx
+from vln_imagine_tpu.envx.tables import EnvState, EpisodeBatch, WorldTables
+from vln_imagine_tpu.models.bert import Critic
+from vln_imagine_tpu.models.hamt import HamtModel
+from vln_imagine_tpu.ops.masks import LOGIT_NEG_INF
+
+
+class RolloutResult(NamedTuple):
+    loss: jnp.ndarray            # scalar total loss (IL + RL + aux)
+    ml_loss: jnp.ndarray         # scalar
+    rl_loss: jnp.ndarray         # scalar
+    aux_loss: jnp.ndarray        # scalar cosine contrastive loss
+    path_nodes: jnp.ndarray      # [B, T+1]
+    path_len: jnp.ndarray        # [B]
+    logits: jnp.ndarray          # [T, B, T_obs]
+    actions: jnp.ndarray         # [T, B]
+    entropy_sum: jnp.ndarray     # scalar (log metric)
+
+
+def _select_action(logits, valid, teacher, feedback: str, rng):
+    """Action slot per feedback mode (agent_cmt.py:560-577)."""
+    if feedback == "teacher":
+        return teacher, jnp.zeros(logits.shape[:1]), jnp.zeros(logits.shape[:1])
+    logp = jax.nn.log_softmax(
+        jnp.where(valid, logits, LOGIT_NEG_INF).astype(jnp.float32), axis=-1)
+    probs = jnp.exp(logp)
+    entropy = -jnp.sum(jnp.where(valid, probs * logp, 0.0), axis=-1)
+    if feedback == "argmax":
+        a = jnp.argmax(logp, axis=-1)
+    elif feedback == "sample":
+        a = jax.random.categorical(rng, logp, axis=-1)
+    else:
+        raise ValueError(feedback)
+    chosen_logp = jnp.take_along_axis(logp, a[:, None], axis=1)[:, 0]
+    return a.astype(jnp.int32), chosen_logp, entropy
+
+
+def rollout_hamt(
+    model: HamtModel,
+    critic: Critic,
+    params: Any,
+    critic_params: Any,
+    tables: WorldTables,
+    ep: EpisodeBatch,
+    cfg: Config,
+    rng: jax.Array,
+    feedback: str = "teacher",
+    train_ml: float | None = 1.0,
+    train_rl: bool = False,
+    deterministic: bool = True,
+) -> RolloutResult:
+    if feedback in ("teacher", "argmax"):
+        train_rl = False
+    mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
+    B = ep.batch
+    T = ecfg.max_action_len
+    K = tables.max_candidates
+    ignore = tcfg.ignoreid
+
+    def apply(method, *args, rngs_key=None, **kw):
+        rngs = {"dropout": rngs_key} if rngs_key is not None else None
+        return model.apply(params, *args, method=method, rngs=rngs,
+                           deterministic=deterministic, **kw)
+
+    rng, r_lang, r_imag, r_align, r_hist0 = jax.random.split(rng, 5)
+
+    # ---- per-episode prologue (once; agent_cmt.py:392-496) -----------------
+    txt_embeds = apply(HamtModel.language, ep.txt_ids, ep.txt_mask,
+                       rngs_key=r_lang)
+    aux_loss = jnp.asarray(0.0)
+    imagine_embeds = None
+    if mcfg.imagine_enc_pano:
+        imagine_embeds = apply(HamtModel.imagine, ep.imagine_feats,
+                               ep.imagine_mask, rngs_key=r_imag)
+        if mcfg.use_cosine_aux_loss:
+            aux_loss, imagine_embeds = apply(
+                HamtModel.align_with_contrastive_loss, txt_embeds, ep.txt_mask,
+                imagine_embeds, ep.imagine_mask, ep.np_weights,
+                rngs_key=r_align)
+
+    h0 = apply(HamtModel.history_initial, B, rngs_key=r_hist0)
+    hist_buf = jnp.zeros((B, T + 1, mcfg.hidden_size), h0.dtype)
+    hist_buf = hist_buf.at[:, 0].set(h0)
+    hist_len = jnp.ones((B,), jnp.int32)
+
+    state0 = envx.reset(tables, ep, T)
+    dtw_row0 = envx.dtw_init(tables, ep)
+    last_dist0 = envx.distance_to_goal(tables, ep, state0.node)
+    last_ndtw0 = envx.dtw_ndtw(dtw_row0, ep, ecfg.error_margin)
+
+    def visual_forward(st: EnvState, h_buf, h_len, rkey):
+        obs = envx.observe_hamt(tables, ep, st, mcfg.angle_feat_size)
+        h_mask = jnp.arange(T + 1)[None, :] < h_len[:, None]
+        out = apply(HamtModel.visual, txt_embeds, ep.txt_mask, h_buf, h_mask,
+                    obs.img, obs.ang, obs.nav_types, obs.valid,
+                    imagine_embeds=imagine_embeds, imagine_mask=ep.imagine_mask,
+                    rngs_key=rkey)
+        return obs, out
+
+    def step_fn(carry, t):
+        st, h_buf, h_len, dtw_row, last_dist, last_ndtw, ml_acc, ent_acc, key = carry
+        key, k_vis, k_act, k_hist = jax.random.split(key, 4)
+
+        obs, out = visual_forward(st, h_buf, h_len, k_vis)
+        teacher = envx.teacher_hamt(tables, ep, st, t, ignore)
+
+        # IL: summed CE with ignore index (agent_cmt.py:105,547)
+        if train_ml is not None:
+            logp = jax.nn.log_softmax(out.act_logits.astype(jnp.float32), -1)
+            tgt = jnp.clip(teacher, 0, logp.shape[1] - 1)
+            ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+            ml_acc = ml_acc + jnp.sum(jnp.where(teacher == ignore, 0.0, ce))
+
+        a_t, logp_a, entropy = _select_action(
+            out.act_logits, (obs.nav_types != 0) & obs.valid, teacher,
+            feedback, k_act)
+        ent_acc = ent_acc + jnp.sum(jnp.where(st.ended, 0.0, entropy))
+
+        # stop when the model picks the STOP slot / teacher says ignore
+        is_stop = (a_t == obs.stop_slot) | (a_t == ignore) | st.ended
+        a_env = jnp.where(is_stop, K, a_t).astype(jnp.int32)
+
+        # history token for time t (appended before the env transition)
+        hist_img, pano_img, pano_ang, prev_ang = envx.history_inputs(
+            tables, ep, st, jnp.where(is_stop, -1, a_env), mcfg.angle_feat_size)
+        h_tok = apply(HamtModel.history_step, hist_img, prev_ang, t,
+                      pano_img, pano_ang, rngs_key=k_hist)
+        write_pos = h_len
+        grow = ~st.ended  # just-stopped items still record one token (:607-609)
+        h_buf = jnp.where(
+            ((jnp.arange(T + 1)[None, :] == write_pos[:, None]) & grow[:, None]
+             )[:, :, None],
+            h_tok[:, None, :], h_buf)
+        h_len = jnp.where(grow, h_len + 1, h_len)
+
+        ended_pre = st.ended
+        st2 = envx.step_hamt(tables, ep, st, a_env)
+        moved = ~is_stop & ~ended_pre
+
+        # reward shaping on the updated pose (agent_cmt.py:615-653)
+        new_row = envx.dtw_push(tables, ep, dtw_row, st2.node)
+        dtw_row = jnp.where(moved[:, None], new_row, dtw_row)
+        dist = envx.distance_to_goal(tables, ep, st2.node)
+        ndtw = envx.dtw_ndtw(dtw_row, ep, ecfg.error_margin)
+        stop_rew = jnp.where(dist < 3.0, 2.0 + ndtw * 2.0, -2.0)
+        delta = -(dist - last_dist)
+        ndtw_rew = ndtw - last_ndtw
+        move_rew = jnp.where(delta > 0.0, 1.0 + ndtw_rew,
+                             jnp.where(delta < 0.0, -1.0 + ndtw_rew, 0.0))
+        move_rew = move_rew - jnp.where(
+            (last_dist <= 1.0) & (dist - last_dist > 0.0),
+            (1.0 - last_dist) * 2.0, 0.0)
+        reward = jnp.where(ended_pre, 0.0,
+                           jnp.where(is_stop, stop_rew, move_rew))
+        mask = jnp.where(ended_pre, 0.0, 1.0)
+        last_dist = jnp.where(moved, dist, last_dist)
+        last_ndtw = jnp.where(moved, ndtw, last_ndtw)
+
+        carry = (st2, h_buf, h_len, dtw_row, last_dist, last_ndtw,
+                 ml_acc, ent_acc, key)
+        ys = (out.act_logits, a_t, logp_a, entropy, out.state, reward, mask)
+        return carry, ys
+
+    rng, k_scan = jax.random.split(rng)
+    carry0 = (state0, hist_buf, hist_len, dtw_row0, last_dist0, last_ndtw0,
+              jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
+    carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
+    (stateT, hist_bufT, hist_lenT, _, _, _, ml_acc, ent_acc, _) = carry
+    logits_seq, actions, logps, entropys, states, rewards, masks = ys
+
+    ml_loss = jnp.asarray(0.0)
+    loss = mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss else jnp.asarray(0.0)
+    if train_ml is not None:
+        ml_loss = ml_acc * train_ml / B
+        loss = loss + ml_loss
+
+    rl_loss = jnp.asarray(0.0)
+    if train_rl:
+        rng, k_last, k_cv, k_cs = jax.random.split(rng, 4)
+        crngs = (None if deterministic else {"dropout": k_cv})
+        _, last_out = visual_forward(stateT, hist_bufT, hist_lenT, k_last)
+        last_value = jax.lax.stop_gradient(
+            critic.apply(critic_params, last_out.state,
+                         deterministic=deterministic, rngs=crngs))
+        discount0 = jnp.where(stateT.ended, 0.0, last_value)
+
+        def a2c_step(disc, ys_t):
+            logp_t, state_t, reward_t, mask_t = ys_t
+            disc = disc * tcfg.gamma + reward_t
+            v = critic.apply(critic_params, state_t,
+                             deterministic=deterministic,
+                             rngs=None if deterministic else {"dropout": k_cs})
+            adv = jax.lax.stop_gradient(disc - v)
+            pol = jnp.sum(-logp_t * adv * mask_t)
+            cri = jnp.sum(((disc - v) ** 2) * mask_t) * 0.5
+            step_loss = pol + cri
+            return disc, step_loss
+
+        # reverse-time A2C pass (agent_cmt.py:712-732)
+        _, step_losses = jax.lax.scan(
+            a2c_step, discount0, (logps, states, rewards, masks), reverse=True)
+        rl_loss = jnp.sum(step_losses)
+        if feedback == "sample":
+            rl_loss = rl_loss + jnp.sum(
+                -tcfg.entropy_loss_weight * entropys * masks)
+        total = jnp.sum(masks)
+        if tcfg.normalize_loss == "total":
+            rl_loss = rl_loss / jnp.maximum(total, 1.0)
+        elif tcfg.normalize_loss == "batch":
+            rl_loss = rl_loss / B
+        loss = loss + rl_loss
+
+    return RolloutResult(
+        loss=loss, ml_loss=ml_loss, rl_loss=rl_loss, aux_loss=aux_loss,
+        path_nodes=stateT.path_nodes, path_len=stateT.path_len,
+        logits=logits_seq, actions=actions, entropy_sum=ent_acc)
+
+
+def make_eval_fn(model, critic, tables, cfg):
+    """Jitted greedy-eval rollout: params, episodes -> trajectories."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_fn(params, ep: EpisodeBatch, rng):
+        res = rollout_hamt(model, critic, params, None, tables, ep, cfg, rng,
+                           feedback="argmax", train_ml=None, train_rl=False,
+                           deterministic=True)
+        return res.path_nodes, res.path_len
+
+    return eval_fn
