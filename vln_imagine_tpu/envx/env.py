@@ -215,6 +215,76 @@ def distance_to_goal(tables: WorldTables, ep: EpisodeBatch,
     return tables.dist[ep.scan, node, ep.goal]
 
 
+class DuetObs(NamedTuple):
+    img: jnp.ndarray        # [B, T_pano, Df]
+    loc: jnp.ndarray        # [B, T_pano, A+3] (angle feats + [1,1,1] box)
+    nav_types: jnp.ndarray  # [B, T_pano] i32 (0 pano view, 1 candidate)
+    valid: jnp.ndarray      # [B, T_pano] bool
+    cand_nodes: jnp.ndarray  # [B, K] neighbour node id
+    cand_valid: jnp.ndarray  # [B, K]
+
+
+def observe_duet(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
+                 angle_feat_size: int = 4) -> DuetObs:
+    """DUET pano token bank (no STOP token; the local branch prepends it):
+    slots [0..K-1] candidates, [K..K+V-1] panorama views; views claimed by a
+    candidate are masked (agent.py:53-96 `_panorama_feature_variable`)."""
+    assert tables.feat is not None
+    B = ep.batch
+    V = tables.views
+    Df = tables.feat.shape[-1]
+
+    adj, adj_valid, pointid, c_head, c_elev = candidate_info(tables, ep, state)
+    node_feat = _gather_sn(tables.feat, ep.scan, state.node)
+
+    base_h = view_heading(state.view_index, V)[:, None]
+    cand_img = jnp.take_along_axis(node_feat, pointid[:, :, None], axis=1)
+    cand_ang = angle_feature(c_head - base_h, c_elev, angle_feat_size)
+    cand_img = jnp.where(adj_valid[:, :, None], cand_img, 0.0)
+    cand_ang = jnp.where(adj_valid[:, :, None], cand_ang, 0.0)
+
+    pano_ang = pano_rel_angles(state.view_index, V, angle_feat_size)
+    onehot = jax.nn.one_hot(pointid, V, dtype=jnp.bool_)
+    used = jnp.any(onehot & adj_valid[:, :, None], axis=1)
+
+    img = jnp.concatenate([cand_img, node_feat], axis=1)
+    ang = jnp.concatenate([cand_ang, pano_ang], axis=1)
+    box = jnp.ones(ang.shape[:2] + (3,), ang.dtype)  # [1,1,1] (agent.py:77)
+    loc = jnp.concatenate([ang, box], axis=-1)
+    K = adj_valid.shape[1]
+    nav = jnp.concatenate([adj_valid.astype(jnp.int32),
+                           jnp.zeros((B, V), jnp.int32)], axis=1)
+    valid = jnp.concatenate([adj_valid, ~used], axis=1)
+    loc = loc * valid[:, :, None]
+    return DuetObs(img=img, loc=loc, nav_types=nav, valid=valid,
+                   cand_nodes=adj, cand_valid=adj_valid)
+
+
+def rel_pos_features(tables: WorldTables, ep: EpisodeBatch,
+                     cur_node: jnp.ndarray, cur_heading: jnp.ndarray,
+                     cur_elevation: jnp.ndarray, target_nodes: jnp.ndarray,
+                     obs_dist: jnp.ndarray, obs_hops: jnp.ndarray,
+                     angle_feat_size: int = 4) -> jnp.ndarray:
+    """DUET 7-d relative position features from the current pose to each
+    target node: angle feats of (heading, elevation) + [line_dist/30,
+    shortest_dist/30, path_steps/10] (graph_utils.py:127-148)."""
+    xyz = tables.node_xyz[ep.scan]                       # [B, N, 3]
+    cur = jnp.take_along_axis(xyz, cur_node[:, None, None].repeat(3, -1),
+                              axis=1)[:, 0]              # [B, 3]
+    tgt = jnp.take_along_axis(
+        xyz, target_nodes[:, :, None].repeat(3, -1), axis=1)  # [B, M, 3]
+    d = tgt - cur[:, None, :]
+    xy = jnp.maximum(jnp.sqrt(d[..., 0] ** 2 + d[..., 1] ** 2), 1e-8)
+    xyz_dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-8)
+    heading = jnp.arctan2(d[..., 0], d[..., 1]) - cur_heading[:, None]
+    elevation = jnp.arcsin(jnp.clip(d[..., 2] / xyz_dist, -1, 1)) \
+        - cur_elevation[:, None]
+    del xy
+    ang = angle_feature(heading, elevation, angle_feat_size)
+    rel = jnp.stack([xyz_dist / 30.0, obs_dist / 30.0, obs_hops / 10.0], -1)
+    return jnp.concatenate([ang, rel.astype(ang.dtype)], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Incremental DTW for per-step nDTW reward shaping (eval_utils.py:74-94).
 # The DTW table over (prediction x reference) grows one row per action, so the

@@ -1,0 +1,378 @@
+"""Batched DUET episode rollout as one XLA program.
+
+Rebuild of GMapNavAgent.rollout (VLN-DUET/map_nav_src/r2r/agent.py:386-625):
+per step the agent encodes the panorama, folds it into the topological map
+(array GmapState replaces the per-item python GraphMap), runs the dual-scale
+navigation forward, and *teleports* to the chosen map node along the
+observed-graph shortest path.  The trajectory (including multi-hop teleports
+and the final stop-node backtrack, agent.py:588-601) is recorded on-device in
+a fixed-capacity node buffer.
+
+Index conventions: model-level gmap sequences are [stop] + gmap slots, so
+model index j corresponds to gmap slot j-1; local vp sequences are
+[stop] + pano tokens, pano slot j-1 (candidates live in pano slots [0..K)).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vln_imagine_tpu.config import Config
+from vln_imagine_tpu.envx import env as envx
+from vln_imagine_tpu.envx import gmap as G
+from vln_imagine_tpu.envx.tables import INF, EpisodeBatch, WorldTables
+from vln_imagine_tpu.models.duet import DuetModel
+from vln_imagine_tpu.ops.angles import view_elevation, view_heading
+from vln_imagine_tpu.ops.masks import LOGIT_NEG_INF
+
+MAX_TELEPORT_HOPS = 6
+MAX_BACKTRACK_HOPS = 8
+
+
+class DuetRolloutResult(NamedTuple):
+    loss: jnp.ndarray
+    ml_loss: jnp.ndarray
+    aux_loss: jnp.ndarray
+    path_nodes: jnp.ndarray  # [B, PB]
+    path_len: jnp.ndarray    # [B]
+    logits: jnp.ndarray      # [T, B, G+1]
+    actions: jnp.ndarray     # [T, B]
+    entropy_sum: jnp.ndarray
+
+
+def path_buffer_len(cfg: Config) -> int:
+    return (1 + cfg.env.max_action_len * MAX_TELEPORT_HOPS
+            + MAX_BACKTRACK_HOPS)
+
+
+def _append_path(path, path_len, nodes, valid):
+    """Append `nodes` (masked by `valid`) to the per-item path buffer."""
+    B, PB = path.shape
+    M = nodes.shape[1]
+    offs = jnp.cumsum(valid, axis=1) - 1
+    pos = jnp.where(valid, path_len[:, None] + offs, PB - 1)
+    # PB-1 is a sacrificial slot; restore it afterwards
+    last = path[:, -1]
+    path = path.at[jnp.arange(B)[:, None], pos].set(
+        jnp.where(valid, nodes, path[:, -1:]))
+    overflow = path_len + jnp.sum(valid, 1) >= PB
+    path = path.at[:, -1].set(jnp.where(overflow, path[:, -1], last))
+    return path, jnp.minimum(path_len + jnp.sum(valid, axis=1), PB)
+
+
+def rollout_duet(
+    model: DuetModel,
+    params: Any,
+    tables: WorldTables,
+    ep: EpisodeBatch,
+    cfg: Config,
+    rng: jax.Array,
+    feedback: str = "teacher",
+    train_ml: float | None = 1.0,
+    deterministic: bool = True,
+) -> DuetRolloutResult:
+    mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
+    B = ep.batch
+    T = ecfg.max_action_len
+    K = tables.max_candidates
+    Gcap = ecfg.max_gmap_nodes
+    N = tables.max_nodes
+    H = mcfg.hidden_size
+    PB = path_buffer_len(cfg)
+    ignore = tcfg.ignoreid
+    b_idx = jnp.arange(B)
+
+    def apply(method, *args, rngs_key=None, **kw):
+        rngs = {"dropout": rngs_key} if rngs_key is not None else None
+        return model.apply(params, *args, method=method, rngs=rngs,
+                           deterministic=deterministic, **kw)
+
+    rng, r_txt, r_imag, r_align = jax.random.split(rng, 4)
+    txt_embeds = apply(DuetModel.text, ep.txt_ids, ep.txt_mask,
+                       rngs_key=r_txt)
+    aux_loss = jnp.asarray(0.0)
+    imagine_embeds = None
+    if mcfg.imagine_enc_pano:
+        imagine_embeds = apply(DuetModel.imagine, ep.imagine_feats,
+                               rngs_key=r_imag)
+        if mcfg.use_cosine_aux_loss:
+            aux_loss, imagine_embeds = apply(
+                DuetModel.align_with_contrastive_loss, txt_embeds, ep.txt_mask,
+                imagine_embeds, ep.imagine_mask, ep.np_weights,
+                rngs_key=r_align)
+
+    # ---- initial graph: start node + its candidates (agent.py:396-398)
+    state0 = envx.reset(tables, ep, T)
+    gm = G.gmap_init(B, Gcap, N, H)
+    obs0 = envx.observe_duet(tables, ep, state0, mcfg.angle_feat_size)
+    all_active = jnp.ones((B,), bool)
+    gm = G.add_nodes(gm, state0.node[:, None], jnp.ones((B, 1), bool))
+    gm = G.add_nodes(gm, obs0.cand_nodes, obs0.cand_valid)
+    edge_w = _edge_weights(tables, ep, state0.node, obs0.cand_nodes)
+    gm = G.add_edges(gm, state0.node, obs0.cand_nodes, edge_w, obs0.cand_valid)
+    gm = G.relax(gm, state0.node, all_active)
+
+    path0 = jnp.zeros((B, PB), jnp.int32)
+    path0 = path0.at[:, 0].set(ep.start_node)
+    plen0 = jnp.ones((B,), jnp.int32)
+
+    goal = ep.goal
+    dist_full = tables.dist  # [S, N, N]
+
+    def step_fn(carry, t):
+        st, gm, path, plen, ml_acc, ent_acc, key = carry
+        key, k_pano, k_nav, k_act = jax.random.split(key, 4)
+        active = ~st.ended
+
+        gm = G.set_visited(gm, st.node, t, active)
+        obs = envx.observe_duet(tables, ep, st, mcfg.angle_feat_size)
+
+        pano = apply(DuetModel.panorama_per_step, obs.img, obs.loc,
+                     obs.nav_types, obs.valid, rngs_key=k_pano)
+        denom = jnp.maximum(jnp.sum(obs.valid, 1, keepdims=True), 1)
+        avg_pano = jnp.sum(pano * obs.valid[:, :, None], axis=1) / denom
+
+        gm = G.update_embeds(gm, st.node, avg_pano, obs.cand_nodes,
+                             pano[:, :K], obs.cand_valid, active)
+
+        # ---------------- model inputs ([stop] + gmap slots)
+        gvalid_s = gm.valid()[:, :Gcap]                    # slot validity
+        gnodes = gm.node_ids[:, :Gcap]
+        gvisited_s = gm.visited[:, :Gcap]
+        gsteps_s = gm.step_ids[:, :Gcap]
+
+        gmap_img = jnp.concatenate(
+            [jnp.zeros((B, 1, H), pano.dtype),
+             G.node_embeds(gm)[:, :Gcap].astype(pano.dtype)], axis=1)
+        gmap_step_ids = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), gsteps_s], axis=1)
+        gmap_valid = jnp.concatenate([jnp.ones((B, 1), bool), gvalid_s], 1)
+        gmap_visited = jnp.concatenate([jnp.zeros((B, 1), bool),
+                                        gvisited_s & gvalid_s], 1)
+
+        cur_slot = jnp.take_along_axis(gm.slot_of, st.node[:, None], 1)[:, 0]
+        cur_heading = view_heading(st.view_index, tables.views)
+        cur_elev = view_elevation(st.view_index, tables.views)
+        obs_dist = gm.dist[b_idx[:, None], cur_slot[:, None],
+                           jnp.arange(Gcap)[None, :]]
+        obs_hops = gm.hops[b_idx[:, None], cur_slot[:, None],
+                           jnp.arange(Gcap)[None, :]]
+        obs_dist = jnp.where(obs_dist >= INF / 2, 0.0, obs_dist)
+        obs_hops = jnp.where(obs_hops >= 10**5, 0, obs_hops)
+        gpos = envx.rel_pos_features(tables, ep, st.node, cur_heading,
+                                     cur_elev, gnodes, obs_dist,
+                                     obs_hops.astype(jnp.float32),
+                                     mcfg.angle_feat_size)
+        gpos = gpos * gvalid_s[:, :, None]
+        gmap_pos = jnp.concatenate(
+            [jnp.zeros((B, 1, gpos.shape[-1]), gpos.dtype), gpos], axis=1)
+        pair = G.pair_dists(gm)[:, :Gcap, :Gcap]
+        gmap_pair = jnp.zeros((B, Gcap + 1, Gcap + 1), pair.dtype)
+        gmap_pair = gmap_pair.at[:, 1:, 1:].set(pair)
+
+        # local vp branch: [stop] + pano tokens (agent.py:173-207)
+        Tp = pano.shape[1]
+        vp_img = jnp.concatenate([jnp.zeros((B, 1, H), pano.dtype), pano], 1)
+        start_slot7 = _vp_pos7(tables, ep, st.node, cur_heading, cur_elev,
+                               ep.start_node[:, None], gm, b_idx, mcfg)[:, 0]
+        cand_pos7 = _vp_pos7(tables, ep, st.node, cur_heading, cur_elev,
+                             obs.cand_nodes, gm, b_idx, mcfg)
+        vp_pos = jnp.zeros((B, Tp + 1, 14), start_slot7.dtype)
+        vp_pos = vp_pos + jnp.pad(start_slot7, ((0, 0), (0, 7)))[:, None, :]
+        vp_pos = vp_pos.at[:, 1:K + 1, 7:].set(
+            cand_pos7 * obs.cand_valid[:, :, None])
+        vp_valid = jnp.concatenate([jnp.ones((B, 1), bool), obs.valid], 1)
+        vp_nav_valid = jnp.concatenate(
+            [jnp.ones((B, 1), bool), obs.nav_types == 1], 1)
+
+        # candidate (vp token j>0) <-> gmap slot matching
+        cand_slot = jnp.take_along_axis(
+            gm.slot_of, jnp.maximum(obs.cand_nodes, 0), 1)     # [B, K]
+        c2g = (jnp.arange(Gcap)[None, :, None] == cand_slot[:, None, :]) \
+            & obs.cand_valid[:, None, :] & (cand_slot >= 0)[:, None, :]
+        cand_to_gmap = jnp.zeros((B, Gcap + 1, Tp + 1), bool)
+        cand_to_gmap = cand_to_gmap.at[:, 1:, 1:K + 1].set(c2g)
+
+        out = apply(DuetModel.navigation_per_step,
+                    txt_embeds, ep.txt_mask,
+                    gmap_img, gmap_step_ids, gmap_pos, gmap_valid,
+                    gmap_pair, gmap_visited,
+                    vp_img, vp_pos, vp_valid, vp_nav_valid, cand_to_gmap,
+                    imagine_embeds=imagine_embeds,
+                    imagine_mask=ep.imagine_mask, rngs_key=k_nav)
+
+        if mcfg.fusion == "local":
+            nav_logits = out.local_logits
+        elif mcfg.fusion == "global":
+            nav_logits = out.global_logits
+        else:
+            nav_logits = out.fused_logits
+
+        probs = jax.nn.softmax(nav_logits.astype(jnp.float32), axis=-1)
+        # record per-node stop score at the current node (agent.py:515-520)
+        stop_tgt = jnp.where(active, cur_slot, gm.trash)
+        gm = gm.replace(stop_scores=gm.stop_scores.at[b_idx, stop_tgt].set(
+            jnp.where(stop_tgt == gm.trash, gm.stop_scores[:, -1],
+                      probs[:, 0])))
+
+        # ---------------- teacher (agent.py:241-287, _teacher_action_r4r)
+        no_vp_left = ~jnp.any(gvalid_s & ~gvisited_s, axis=1)
+        if feedback == "teacher":
+            tgt_node = jnp.take_along_axis(
+                ep.gt_path, jnp.broadcast_to(
+                    jnp.clip(t + 1, 0, ep.gt_path.shape[1] - 1),
+                    (B,))[:, None], axis=1)[:, 0]
+            match = (gnodes == tgt_node[:, None]) & gvalid_s
+            slot = jnp.argmax(match, axis=1) + 1
+            is_stop = t >= ep.gt_len - 1
+            teacher = jnp.where(is_stop, 0, slot)
+        else:
+            cand_cost = (dist_full[ep.scan[:, None], gnodes, goal[:, None]]
+                         + dist_full[ep.scan[:, None], st.node[:, None],
+                                     gnodes])
+            cand_ok = gvalid_s & ~gvisited_s
+            cand_cost = jnp.where(cand_ok, cand_cost, INF)
+            slot = jnp.argmin(cand_cost, axis=1) + 1
+            teacher = jnp.where(st.node == goal, 0, slot)
+        teacher = jnp.where(st.ended, ignore, teacher)
+
+        if train_ml is not None:
+            logp = jax.nn.log_softmax(nav_logits.astype(jnp.float32), -1)
+            tgt = jnp.clip(teacher, 0, logp.shape[1] - 1)
+            ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0]
+            ml_acc = ml_acc + jnp.sum(jnp.where(teacher == ignore, 0.0, ce))
+
+        # ---------------- action selection (agent.py:545-575)
+        valid_act = gmap_valid & ~gmap_visited if mcfg.fusion != "local" \
+            else vp_nav_valid
+        valid_act = valid_act.at[:, 0].set(True)
+        if feedback == "teacher":
+            a_t = teacher
+            ent = jnp.zeros((B,))
+        else:
+            logp = jax.nn.log_softmax(
+                jnp.where(valid_act, nav_logits, LOGIT_NEG_INF
+                          ).astype(jnp.float32), -1)
+            p = jnp.exp(logp)
+            ent = -jnp.sum(jnp.where(valid_act, p * logp, 0.0), -1)
+            if feedback == "argmax":
+                a_t = jnp.argmax(logp, -1).astype(jnp.int32)
+            elif feedback == "sample":
+                a_t = jax.random.categorical(k_act, logp, -1).astype(jnp.int32)
+            else:
+                raise ValueError(feedback)
+        ent_acc = ent_acc + jnp.sum(jnp.where(st.ended, 0.0, ent))
+
+        # stop rule (agent.py:570-575): training stops at the gt goal,
+        # inference stops on predicted stop
+        if feedback in ("teacher", "sample"):
+            a_t_stop = st.node == jnp.take_along_axis(
+                ep.gt_path, (ep.gt_len - 1)[:, None], 1)[:, 0]
+        else:
+            a_t_stop = a_t == 0
+        stop_now = (a_t_stop | st.ended | no_vp_left
+                    | (a_t == ignore) | (t == T - 1))
+        just_ended = stop_now & ~st.ended
+
+        tgt_slot = jnp.clip(a_t - 1, 0, Gcap - 1)
+        tgt_node = jnp.where(stop_now, st.node,
+                             jnp.take_along_axis(gnodes, tgt_slot[:, None],
+                                                 1)[:, 0])
+
+        # ---------------- teleport along the observed path (agent.py:289-305)
+        hop_nodes, hop_valid = G.follow_path(gm, st.node, tgt_node,
+                                             MAX_TELEPORT_HOPS)
+        moving = ~stop_now & ~st.ended
+        hop_valid = hop_valid & moving[:, None]
+        path, plen = _append_path(path, plen, hop_nodes, hop_valid)
+
+        n_hops = jnp.sum(hop_valid, axis=1)
+        last_idx = jnp.maximum(n_hops - 2, 0)
+        prev_node = jnp.where(
+            n_hops >= 2,
+            jnp.take_along_axis(hop_nodes, last_idx[:, None], 1)[:, 0],
+            st.node)
+        new_node = jnp.where(moving, tgt_node, st.node)
+        # adopt the discretized view of the final approach edge
+        adj_prev = tables.adj[ep.scan, prev_node]
+        pid_prev = tables.cand_pointid[ep.scan, prev_node]
+        k_match = jnp.argmax(adj_prev == new_node[:, None], axis=1)
+        new_view = jnp.take_along_axis(pid_prev, k_match[:, None], 1)[:, 0]
+        new_view = jnp.where(moving, new_view, st.view_index)
+
+        # ---------------- stop-node backtrack for just-ended items
+        # (agent.py:588-601): jump to the highest-stop-score visited node
+        best_stop_slot = jnp.argmax(
+            jnp.where(gm.valid() & gm.visited, gm.stop_scores, -jnp.inf), 1)
+        best_stop_node = jnp.take_along_axis(gm.node_ids,
+                                             best_stop_slot[:, None], 1)[:, 0]
+        has_score = jnp.any(jnp.isfinite(
+            jnp.where(gm.valid() & gm.visited, gm.stop_scores, -jnp.inf)), 1)
+        do_back = just_ended & has_score & (best_stop_node != st.node)
+        back_nodes, back_valid = G.follow_path(gm, st.node, best_stop_node,
+                                               MAX_BACKTRACK_HOPS)
+        back_valid = back_valid & do_back[:, None]
+        path, plen = _append_path(path, plen, back_nodes, back_valid)
+
+        st2 = st.replace(node=new_node, view_index=new_view,
+                         ended=st.ended | stop_now, step=st.step + 1)
+
+        # ---------------- observe the new node, grow the graph
+        obs2 = envx.observe_duet(tables, ep, st2, mcfg.angle_feat_size)
+        active2 = ~st2.ended
+        gm = G.add_nodes(gm, st2.node[:, None], active2[:, None])
+        gm = G.add_nodes(gm, obs2.cand_nodes,
+                         obs2.cand_valid & active2[:, None])
+        w2 = _edge_weights(tables, ep, st2.node, obs2.cand_nodes)
+        gm = G.add_edges(gm, st2.node, obs2.cand_nodes, w2,
+                         obs2.cand_valid & active2[:, None])
+        gm = G.relax(gm, st2.node, active2)
+
+        carry = (st2, gm, path, plen, ml_acc, ent_acc, key)
+        return carry, (nav_logits, a_t)
+
+    rng, k_scan = jax.random.split(rng)
+    carry0 = (state0, gm, path0, plen0, jnp.asarray(0.0), jnp.asarray(0.0),
+              k_scan)
+    carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
+    stT, gmT, pathT, plenT, ml_acc, ent_acc, _ = carry
+    logits_seq, actions = ys
+
+    ml_loss = jnp.asarray(0.0)
+    loss = mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss \
+        else jnp.asarray(0.0)
+    if train_ml is not None:
+        ml_loss = ml_acc * train_ml / B
+        loss = loss + ml_loss
+
+    return DuetRolloutResult(
+        loss=loss, ml_loss=ml_loss, aux_loss=aux_loss,
+        path_nodes=pathT, path_len=plenT, logits=logits_seq, actions=actions,
+        entropy_sum=ent_acc)
+
+
+def _edge_weights(tables, ep, src_node, dst_nodes):
+    """Straight-line distances (calc_position_distance, graph_utils.py:7-13)."""
+    xyz = tables.node_xyz[ep.scan]
+    a = jnp.take_along_axis(xyz, src_node[:, None, None].repeat(3, -1),
+                            1)[:, 0]
+    bpos = jnp.take_along_axis(xyz, dst_nodes[:, :, None].repeat(3, -1), 1)
+    return jnp.linalg.norm(bpos - a[:, None, :], axis=-1)
+
+
+def _vp_pos7(tables, ep, cur_node, cur_heading, cur_elev, targets, gm, b_idx,
+             mcfg):
+    """7-d rel-pos features for vp targets via the observed graph."""
+    cur_slot = jnp.take_along_axis(gm.slot_of, cur_node[:, None], 1)[:, 0]
+    t_slot = jnp.take_along_axis(gm.slot_of, jnp.maximum(targets, 0), 1)
+    t_slot = jnp.where(t_slot >= 0, t_slot, gm.trash)
+    od = gm.dist[b_idx[:, None], cur_slot[:, None], t_slot]
+    oh = gm.hops[b_idx[:, None], cur_slot[:, None], t_slot]
+    od = jnp.where(od >= INF / 2, 0.0, od)
+    oh = jnp.where(oh >= 10**5, 0, oh)
+    return envx.rel_pos_features(tables, ep, cur_node, cur_heading, cur_elev,
+                                 targets, od, oh.astype(jnp.float32),
+                                 mcfg.angle_feat_size)
