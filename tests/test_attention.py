@@ -1,0 +1,96 @@
+"""Pallas fused attention: exact parity against the unfused oracle in
+interpreter mode (CPU), plus vjp correctness via the fallback path."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from vln_imagine_tpu.ops import attention as A
+
+
+def _interp_forward(q, k, v, bias, scale):
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    return pl.pallas_call(
+        functools.partial(A._fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+        grid=(B,),
+        in_specs=A._specs(H, Lq, Lk, D, bias.shape[1]),
+        out_specs=pl.BlockSpec((1, H, Lq, D), lambda i: (i, 0, 0, 0)),
+        interpret=True,
+    )(q, k, v, bias)
+
+
+def _case(B=2, H=3, Lq=10, Lk=7, D=32, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, D)), jnp.float32)
+    mask = rng.random((B, 1, 1, Lk)) < 0.75
+    bias = jnp.asarray(
+        np.where(mask, 0.0, -10000.0) * np.ones((B, 1, Lq, Lk)), jnp.float32)
+    return q, k, v, bias
+
+
+def test_kernel_matches_oracle_interpret():
+    q, k, v, bias = _case()
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    got = _interp_forward(q, k, v, bias, scale)
+    want = A.reference_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_per_head_bias_interpret():
+    q, k, v, _ = _case()
+    B, H, Lq, _ = q.shape
+    Lk = k.shape[2]
+    rng = np.random.default_rng(3)
+    bias = jnp.asarray(rng.standard_normal((B, H, Lq, Lk)), jnp.float32)
+    scale = 0.125
+    got = _interp_forward(q, k, v, bias, scale)
+    want = A.reference_attention(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_bwd_kernel_matches_autodiff_interpret():
+    q, k, v, bias = _case(B=1, H=2, Lq=6, Lk=5, D=32)
+    scale = 1.0 / np.sqrt(q.shape[-1])
+    g = jnp.ones((1, 2, 6, 32), jnp.float32) * 0.3
+
+    def interp_bwd(q, k, v, bias, g):
+        B, H, Lq, D = q.shape
+        Lk = k.shape[2]
+        in_specs = A._specs(H, Lq, Lk, D, bias.shape[1])
+        in_specs.append(pl.BlockSpec((1, H, Lq, D), lambda i: (i, 0, 0, 0)))
+        return pl.pallas_call(
+            functools.partial(A._bwd_kernel, scale=scale),
+            out_shape=(jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
+                       jax.ShapeDtypeStruct((B, H, Lk, D), k.dtype),
+                       jax.ShapeDtypeStruct((B, H, Lk, D), v.dtype)),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=(pl.BlockSpec((1, H, Lq, D), lambda i: (i, 0, 0, 0)),
+                       pl.BlockSpec((1, H, Lk, D), lambda i: (i, 0, 0, 0)),
+                       pl.BlockSpec((1, H, Lk, D), lambda i: (i, 0, 0, 0))),
+            interpret=True,
+        )(q, k, v, bias, g)
+
+    got = interp_bwd(q, k, v, bias, g)
+    want = jax.vjp(
+        lambda q, k, v: A.reference_attention(q, k, v, bias, scale),
+        q, k, v)[1](g)
+    for a, b, n in zip(got, want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{n}")
+
+
+def test_fused_attention_falls_back_on_cpu():
+    q, k, v, bias = _case()
+    out = A.fused_attention(q, k, v, bias, 0.125)
+    want = A.reference_attention(q, k, v, bias, 0.125)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)

@@ -86,12 +86,16 @@ class MHAttention(nn.Module):
             b, l, _ = x.shape
             return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
 
-        rng = None
-        if cfg.attention_probs_dropout_prob > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-        ctx, _ = attention_core(
-            split(q), split(k), split(v), bias,
-            cfg.attention_probs_dropout_prob, deterministic, rng, d)
+        drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
+        if cfg.use_pallas_attention and not drop_active:
+            from vln_imagine_tpu.ops.attention import fused_attention
+            ctx = fused_attention(split(q), split(k), split(v), bias,
+                                  1.0 / (d ** 0.5))
+        else:
+            rng = self.make_rng("dropout") if drop_active else None
+            ctx, _ = attention_core(
+                split(q), split(k), split(v), bias,
+                cfg.attention_probs_dropout_prob, deterministic, rng, d)
         b, _, lq, _ = ctx.shape
         return ctx.transpose(0, 2, 1, 3).reshape(b, lq, cfg.hidden_size)
 
