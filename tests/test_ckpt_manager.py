@@ -1,0 +1,42 @@
+"""Checkpoint manager: save/restore round-trip + retention policy."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vln_imagine_tpu.ckpt.manager import CheckpointManager
+
+
+def _state(v):
+    return {"params": {"a": jnp.full((3, 2), v), "b": jnp.arange(4)},
+            "step": jnp.asarray(int(v))}
+
+
+def test_roundtrip(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    st = _state(7.0)
+    mgr.save_latest(st)
+    back = mgr.load("latest_dict", _state(0.0))
+    np.testing.assert_array_equal(np.asarray(back["params"]["a"]),
+                                  np.asarray(st["params"]["a"]))
+    assert int(back["step"]) == 7
+
+
+def test_best_policy_spl_sr(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), select_metric="spl_sr")
+    assert mgr.maybe_save_best(_state(1), "val_unseen", {"spl": 50, "sr": 60})
+    assert not mgr.maybe_save_best(_state(2), "val_unseen",
+                                   {"spl": 40, "sr": 50})
+    assert mgr.maybe_save_best(_state(3), "val_unseen", {"spl": 60, "sr": 60})
+    back = mgr.load("best_val_unseen", _state(0.0))
+    assert int(back["step"]) == 3
+
+
+def test_snapshot_naming_and_best_iteration(tmp_path):
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_snapshot(_state(1), 2000, 65.0, 60.0, "val_unseen")
+    mgr.save_snapshot(_state(2), 4000, 67.26, 62.02, "val_unseen")
+    mgr.save_snapshot(_state(3), 6000, 60.0, 55.0, "val_unseen")
+    names = mgr.list_snapshots()
+    assert "iter_4000_SR_67.26_SPL_62.02_val_unseen" in names
+    assert mgr.best_iteration("val_unseen") == \
+        "iter_4000_SR_67.26_SPL_62.02_val_unseen"

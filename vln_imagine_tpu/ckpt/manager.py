@@ -1,0 +1,123 @@
+"""Checkpoint persistence with the reference's retention policy.
+
+Reference behaviour (VLN-HAMT/finetune_src/r2r/main.py:347-359,
+agent_cmt.py:837-875): `best_<env>` whenever spl+sr improves (DUET: spl,
+main_nav.py:347-351), `latest_dict` every interval, and a full snapshot every
+2000 iters under all_ckpts/iter_<i>_SR_<sr>_SPL_<spl>_<env>; checkpoints
+bundle {model, critic} x {epoch, state_dict, optimizer}.
+
+Implementation: orbax PyTreeCheckpointer per save slot.  Also provides
+`load_reference_checkpoint` for the released torch .pt files via
+ckpt/convert.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, select_metric: str = "spl_sr"):
+        """select_metric: 'spl_sr' (HAMT, main.py:352) or 'spl'
+        (DUET, main_nav.py:347)."""
+        self.dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.dir, exist_ok=True)
+        self.select_metric = select_metric
+        self._ckpt = ocp.PyTreeCheckpointer()
+        self.best_score: dict[str, float] = {}
+
+    # ------------------------------------------------------------------ save
+    def _save(self, path: str, state: Any):
+        path = os.path.join(self.dir, path)
+        self._ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+
+    def save_latest(self, state: Any):
+        self._save("latest_dict", state)
+
+    def save_snapshot(self, state: Any, iteration: int, sr: float, spl: float,
+                      env_name: str):
+        self._save(
+            f"all_ckpts/iter_{iteration}_SR_{sr:.2f}_SPL_{spl:.2f}_{env_name}",
+            state)
+
+    def maybe_save_best(self, state: Any, env_name: str,
+                        metrics: dict) -> bool:
+        score = (metrics["spl"] + metrics["sr"]
+                 if self.select_metric == "spl_sr" else metrics["spl"])
+        if score >= self.best_score.get(env_name, float("-inf")):
+            self.best_score[env_name] = score
+            self._save(f"best_{env_name}", state)
+            with open(os.path.join(self.dir, f"best_{env_name}.json"),
+                      "w") as f:
+                json.dump(metrics, f)
+            return True
+        return False
+
+    # ------------------------------------------------------------------ load
+    def load(self, name: str, example_state: Any) -> Any:
+        path = os.path.join(self.dir, name)
+        restored = self._ckpt.restore(path)
+        return _graft(example_state, restored)
+
+    def list_snapshots(self) -> list[str]:
+        root = os.path.join(self.dir, "all_ckpts")
+        if not os.path.isdir(root):
+            return []
+        return sorted(os.listdir(root))
+
+    def best_iteration(self, env_name: str) -> str | None:
+        """Parse the iteration out of snapshot names like the released
+        `iter_32000_SR_67.26_SPL_62.02_val_unseen`."""
+        best, best_score = None, float("-inf")
+        for name in self.list_snapshots():
+            m = re.match(r"iter_(\d+)_SR_([\d.]+)_SPL_([\d.]+)_" + env_name,
+                         name)
+            if m:
+                score = float(m.group(2)) + float(m.group(3))
+                if score > best_score:
+                    best, best_score = name, score
+        return best
+
+
+def _graft(example: Any, restored: Any) -> Any:
+    """Shape restored arrays onto the example pytree structure (orbax returns
+    plain nested dicts)."""
+    flat_ex, treedef = jax.tree_util.tree_flatten(example)
+    flat_re = jax.tree_util.tree_leaves(restored)
+    assert len(flat_ex) == len(flat_re), (
+        f"checkpoint has {len(flat_re)} leaves, expected {len(flat_ex)}")
+    cast = [np.asarray(r).astype(np.asarray(e).dtype)
+            for e, r in zip(flat_ex, flat_re)]
+    return jax.tree_util.tree_unflatten(treedef, cast)
+
+
+def load_reference_checkpoint(path: str, agent: str = "hamt"):
+    """Load a released torch checkpoint
+    ({vln_bert, critic} x {epoch, state_dict, optimizer},
+    agent_cmt.py:837-852) into flax param trees."""
+    import torch
+
+    from vln_imagine_tpu.ckpt import convert as C
+
+    states = torch.load(path, map_location="cpu", weights_only=False)
+    out = {}
+    if "vln_bert" in states:
+        key_fn = (C.hamt_torch_to_flax_path if agent == "hamt"
+                  else C.duet_torch_to_flax_path)
+        params, skipped = C.convert_state_dict(
+            states["vln_bert"]["state_dict"], key_fn)
+        out["params"] = params
+        out["skipped"] = skipped
+        out["epoch"] = states["vln_bert"].get("epoch")
+    if "critic" in states:
+        critic_params, _ = C.convert_state_dict(
+            states["critic"]["state_dict"], C.critic_torch_to_flax_path)
+        out["critic_params"] = critic_params
+    return out

@@ -301,6 +301,8 @@ class PreNormEncoderLayer(nn.Module):
             # True = valid; MultiheadAttention masks with -inf on pads.
             bias = jnp.where(key_padding_mask[:, None, None, :], 0.0, -1e9)
         ctx = MHAttention(cfg, name="self_attn")(src2, src2, bias, deterministic)
+        # torch nn.MultiheadAttention applies an output projection internally
+        ctx = nn.Dense(cfg.hidden_size, dtype=dt, name="out_proj")(ctx)
         src = src + nn.Dropout(cfg.hidden_dropout_prob,
                                deterministic=deterministic)(ctx)
         src2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(src).astype(dt)
