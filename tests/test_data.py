@@ -1,0 +1,124 @@
+"""Data layer: annotations, samplers, metadata tools, feature scattering."""
+
+import json
+
+import numpy as np
+import pytest
+
+from vln_imagine_tpu.data import annotations as A
+from vln_imagine_tpu.data import nlp_tools as N
+from vln_imagine_tpu.data.features import (
+    InMemoryFeaturesDB,
+    build_imagination_arrays,
+)
+from vln_imagine_tpu.envx.synthetic import random_scan_graph
+
+
+def test_construct_instrs_splits_instructions(tmp_path):
+    anno = [{
+        "path_id": 4332, "scan": "sc1",
+        "path": ["a", "b", "c"], "heading": 1.0,
+        "instructions": ["go one", "go two", "go three", "go four"],
+        "instr_encodings": [[1, 5, 6], [1, 7, 8], [1, 9, 10], [1, 11, 12]],
+    }]
+    with open(tmp_path / "R2R_val_seen_enc.json", "w") as f:
+        json.dump(anno, f)
+    items = A.construct_instrs(str(tmp_path), "r2r", ["val_seen"])
+    # at most 3 instructions per path (data_utils.py:100-102)
+    assert len(items) == 3
+    assert items[0]["instr_id"] == "4332_0"
+    assert items[2]["instr_encoding"] == [1, 9, 10]
+    assert "instructions" not in items[0]
+
+
+def test_episodes_from_annotations_arrays():
+    rng = np.random.default_rng(0)
+    g = random_scan_graph(rng, "sc1", 10)
+    items = [{
+        "instr_id": "1_0", "scan": "sc1",
+        "path": [g.node_ids[0], g.node_ids[1]],
+        "heading": 0.5, "instr_encoding": [1, 4, 5, 6],
+    }]
+    meta = A.AuxMetadata(
+        sub_instr_segs={"1_0": [(1, 3)]},
+        noun_phrase_segs={"1_0": [[(2, 3)]]},
+        generated_flags={"1_0": ["True"]},
+    )
+    ep, ids = A.episodes_from_annotations(items, [g], meta,
+                                          max_instr_len=8, max_gt_path_len=4,
+                                          max_imaginations=2)
+    assert ids == ["1_0"]
+    assert ep.gt_len[0] == 2
+    assert ep.txt_mask[0].sum() == 4
+    # noun-phrase weights: 1/2 over tokens 2..3, imagination 0 flagged
+    np.testing.assert_allclose(ep.np_weights[0, 0, 2:4], 0.5)
+    assert ep.np_weights[0, 0].sum() == 1.0
+    assert ep.imagine_mask[0, 0] and not ep.imagine_mask[0, 1]
+
+
+def test_round_robin_sampler_wraps_with_reshuffle():
+    s = A.RoundRobinSampler(5, 2, seed=1)
+    seen = []
+    for _ in range(5):
+        b = s.next_batch()
+        assert len(b) == 2
+        seen.extend(b.tolist())
+    # 10 draws cover the 5 items exactly twice
+    assert sorted(seen).count(0) == 2
+    assert len(seen) == 10
+
+
+def test_eval_sampler_looped_detection():
+    s = A.EvalSampler(5, 2)
+    picked = []
+    for idxs, fresh in s:
+        picked.extend(np.asarray(idxs)[fresh].tolist())
+    assert sorted(picked) == [0, 1, 2, 3, 4]  # each item exactly once
+
+
+def test_find_best_segment_exact_match():
+    instr = ["[CLS]", "walk", "past", "the", "sofa", ".", "stop", "[SEP]"]
+    start, end, score = N.find_best_segment(instr, ["walk", "past", "the",
+                                                    "sofa"])
+    assert (start, end) == (1, 5)
+    assert score == 100.0
+
+
+def test_merge_subword_tokens():
+    merged, mapping = N.merge_subword_tokens(["book", "##shelf", "near",
+                                              "stair", "##case"])
+    assert merged == ["bookshelf", "near", "staircase"]
+    assert mapping == [0, 2, 3]
+
+
+def test_noun_phrase_metadata_schema():
+    instr = ["[CLS]", "walk", "to", "the", "book", "##shelf", ".", "stop",
+             "at", "the", "sofa", "[SEP]"]
+    subs = [["walk", "to", "the", "book", "##shelf"],
+            ["stop", "at", "the", "sofa"]]
+    rec = N.build_sub_instr_metadata("7_1", instr, subs, path_id=7)
+    assert rec["instruction_id"] == "7_1"
+    assert len(rec["instr_segmentation_indices"]) == 2
+    assert len(rec["noun_phrase_indices"]) == 2
+    lo, hi = rec["instr_segmentation_indices"][0]
+    assert instr[lo:hi + 1] == ["walk", "to", "the", "book", "##shelf"]
+    # noun phrase indices are absolute into the instruction
+    for spans, (slo, shi) in zip(rec["noun_phrase_indices"],
+                                 rec["instr_segmentation_indices"]):
+        for (a, b) in spans:
+            assert slo <= a <= b <= shi
+
+
+def test_imagination_scatter_matches_flags():
+    db = InMemoryFeaturesDB({
+        "i1": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "i2": np.zeros((0, 3), np.float32),
+    })
+    flags = {"i1": ["True", "False", "True"], "i2": ["False", "False"]}
+    feats, mask = build_imagination_arrays(db, ["i1", "i2"], flags,
+                                           max_imaginations=4, feat_dim=3)
+    # i1: features land at sub-instruction slots 0 and 2
+    np.testing.assert_array_equal(mask[0], [True, False, True, False])
+    np.testing.assert_allclose(feats[0, 0], [0, 1, 2])
+    np.testing.assert_allclose(feats[0, 2], [3, 4, 5])
+    assert not mask[1].any()

@@ -1,0 +1,112 @@
+"""Pre-training stacks: task batches, train/validate, weight transfer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_imagine_tpu.config import tiny_test_config, _replace
+from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
+
+
+def _setup(agent, tasks=None, mix=None):
+    cfg = tiny_test_config(agent)
+    if tasks:
+        cfg = _replace(cfg, "pretrain", tasks=tasks, mix_ratio=mix)
+    world_np, _ = synthetic_world(
+        num_scans=2, num_nodes=20, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=1)
+    ep = synthetic_episodes(
+        world_np, batch=10, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=2)
+    world = jax.tree.map(jnp.asarray, world_np)
+    return cfg, world, world_np, ep
+
+
+@pytest.fixture(scope="module")
+def hamt_pt():
+    cfg, world, _, ep = _setup("hamt")
+    pt = HamtPretrainer(cfg, world, ep, image_prob_size=16)
+    return pt, pt.init_state()
+
+
+def test_hamt_task_batches_shapes(hamt_pt):
+    pt, _ = hamt_pt
+    for task in pt.cfg.pretrain.tasks:
+        batch = pt.batcher.task_batch(task, 3)
+        for key in pt.task_args[task]:
+            assert key in batch, (task, key)
+            assert batch[key].shape[0] in (3, batch["shuffled_pos_ids"].shape[0]
+                                           if "shuffled_pos_ids" in batch
+                                           else 3)
+
+
+def test_mlm_masking_rules(hamt_pt):
+    pt, _ = hamt_pt
+    batch = pt.batcher.mlm_batch(np.arange(6))
+    labels = batch["txt_labels"]
+    assert (labels >= 0).any(axis=1).all()  # every item predicts something
+    assert (labels[:, 0] == -1).all()       # [CLS] never masked
+    # masked positions fall inside the valid text
+    assert (batch["txt_masks"] | (labels == -1)).all()
+
+
+def test_hamt_pretrain_steps_and_validation(hamt_pt):
+    pt, state = hamt_pt
+    state, summary = pt.train(state, num_steps=8, batch_size=3)
+    assert all(np.isfinite(v) for v in summary.values())
+    val = pt.validate(state, batch_size=3, num_batches=1)
+    assert set(val) == set(pt.cfg.pretrain.tasks)
+    assert 0.0 <= val["mlm"]["acc"] <= 1.0
+
+
+def test_sap_labels_match_teacher(hamt_pt):
+    pt, _ = hamt_pt
+    batch = pt.batcher.base_batch(np.arange(8), end_step=False)
+    K = pt.batcher.K
+    acts = batch["ob_action_viewindex"]
+    # stop slot or a valid candidate slot
+    for i, a in enumerate(acts):
+        assert 0 <= a <= K
+        if a < K:
+            assert batch["ob_nav_types"][i, a] == 1
+
+
+def test_duet_pretrain_end_to_end():
+    cfg, world, _, ep = _setup("duet", tasks=("mlm", "mrc", "sap"),
+                               mix=(1, 1, 1))
+    pt = DuetPretrainer(cfg, world, ep, image_prob_size=16)
+    state = pt.init_state()
+    state, summary = pt.train(state, num_steps=6, batch_size=3)
+    assert all(np.isfinite(v) for v in summary.values())
+    val = pt.validate(state, batch_size=3, num_batches=1)
+    assert set(val) == {"mlm", "mrc", "sap"}
+
+
+def test_pretrained_weights_transfer_to_finetune(hamt_pt):
+    from vln_imagine_tpu.ckpt.transfer import init_finetune_from_pretrain
+    from vln_imagine_tpu.train.trainer import HamtTrainer
+
+    pt, state = hamt_pt
+    cfg, world, _, ep = _setup("hamt")
+    ep = jax.tree.map(jnp.asarray, ep)
+    trainer = HamtTrainer(cfg, world)
+    ft_state = trainer.init_state(ep)
+    new_params, transferred, missing = init_finetune_from_pretrain(
+        ft_state.params, state.params)
+    assert transferred > 0
+    # language embeddings must transfer
+    np.testing.assert_array_equal(
+        np.asarray(new_params["params"]["embeddings"]["word_embeddings"]
+                   ["embedding"]),
+        np.asarray(state.params["params"]["embeddings"]["word_embeddings"]
+                   ["embedding"]))
+    # imagination modules are finetune-only: they stay at init
+    assert "imagine_embeddings" in {m for m, _ in missing} or \
+        any("imagine" in m for m, _ in missing)

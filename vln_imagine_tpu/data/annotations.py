@@ -1,0 +1,237 @@
+"""Instruction annotations -> fixed-shape episode arrays.
+
+Rebuild of load_instr_datasets / construct_instrs
+(VLN-HAMT/finetune_src/r2r/data_utils.py:50-116) and the aux-loss metadata
+wiring (sub-instruction segmentation + noun-phrase index JSONs, parser.py:
+138-217; imagination-v2 generated-flag JSONs).  The spaCy/fuzzywuzzy offline
+tools that PRODUCE those JSONs live in data/nlp_tools.py; this module only
+consumes their output and emits EpisodeBatch arrays.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from vln_imagine_tpu.envx.compiler import ScanGraph
+from vln_imagine_tpu.envx.tables import EpisodeBatch
+
+
+def load_instr_datasets(anno_dir: str, dataset: str,
+                        splits: list[str]) -> list[dict]:
+    """Official split files per task family (data_utils.py:50-82)."""
+    data = []
+    for split in splits:
+        if "/" in split:  # augmented data path given directly
+            with open(split) as f:
+                data += json.load(f)
+            continue
+        if dataset == "r2r":
+            path = os.path.join(anno_dir, f"R2R_{split}_enc.json")
+        elif dataset == "fgr2r":
+            path = os.path.join(anno_dir, f"FGR2R_{split}.json")
+        elif dataset == "r2r_last":
+            path = os.path.join(anno_dir, "LastSent", f"R2R_{split}_enc.json")
+        elif dataset == "r2r_back":
+            path = os.path.join(anno_dir, "ReturnBack",
+                                f"R2R_{split}_enc.json")
+        elif dataset == "r4r":
+            path = os.path.join(anno_dir, f"R4R_{split}_enc.json")
+        elif dataset == "rxr":
+            path = os.path.join(anno_dir,
+                                f"rxr_{split}_guide_enc_xlmr.jsonl")
+            with open(path) as f:
+                data += [json.loads(line) for line in f if line.strip()]
+            continue
+        else:
+            raise ValueError(dataset)
+        with open(path) as f:
+            data += json.load(f)
+    return data
+
+
+def construct_instrs(anno_dir: str, dataset: str, splits: list[str],
+                     max_instrs_per_path: int = 3,
+                     aug_flag: bool = False) -> list[dict]:
+    """One entry per instruction with instr_id '<path_id>_<j>'
+    (data_utils.py:84-116; at most 3 instructions per path unless augmented)."""
+    out = []
+    for item in load_instr_datasets(anno_dir, dataset, splits):
+        if dataset == "rxr":
+            new_item = dict(item)
+            if "path_id" in item:
+                new_item["instr_id"] = \
+                    f"{item['path_id']}_{item['instruction_id']}"
+            else:
+                new_item["path_id"] = new_item["instr_id"] = \
+                    str(item["instruction_id"])
+            out.append(new_item)
+            continue
+        for j, instr in enumerate(item["instructions"]):
+            if j >= max_instrs_per_path and not aug_flag:
+                continue
+            new_item = dict(item)
+            new_item["instr_id"] = f"{item['path_id']}_{j}"
+            new_item["instruction"] = instr
+            new_item["instr_encoding"] = item["instr_encodings"][j]
+            new_item.pop("instructions", None)
+            new_item.pop("instr_encodings", None)
+            out.append(new_item)
+    return out
+
+
+@dataclass
+class AuxMetadata:
+    """Sub-instruction / noun-phrase / imagination metadata for one split."""
+
+    sub_instr_segs: dict[str, list] = field(default_factory=dict)
+    noun_phrase_segs: dict[str, list] = field(default_factory=dict)
+    generated_flags: dict[str, list] = field(default_factory=dict)
+
+    @classmethod
+    def load(cls, sub_instr_file: str | None, generated_flag_file: str | None
+             ) -> "AuxMetadata":
+        meta = cls()
+        if sub_instr_file and os.path.exists(sub_instr_file):
+            with open(sub_instr_file) as f:
+                for item in json.load(f):
+                    iid = item["instruction_id"]
+                    meta.sub_instr_segs[iid] = \
+                        item["instr_segmentation_indices"]
+                    meta.noun_phrase_segs[iid] = item["noun_phrase_indices"]
+        if generated_flag_file and os.path.exists(generated_flag_file):
+            with open(generated_flag_file) as f:
+                meta.generated_flags = json.load(f)
+        return meta
+
+
+def np_weight_matrix(instr_id: str, meta: AuxMetadata, max_imaginations: int,
+                     max_instr_len: int) -> np.ndarray:
+    """[I, L] noun-phrase mean-weight rows: row i spreads 1/n over the
+    noun-phrase tokens of sub-instruction i, replacing the python double loop
+    of the aux loss (vilmodel_cmt.py:750-790).  Rows of imaginations without
+    noun phrases (or without a 'True' generated flag) are zero."""
+    w = np.zeros((max_imaginations, max_instr_len), np.float32)
+    nps = meta.noun_phrase_segs.get(instr_id)
+    segs = meta.sub_instr_segs.get(instr_id)
+    flags = meta.generated_flags.get(instr_id)
+    if nps is None or flags is None:
+        return w
+    for i, flag in enumerate(flags[:max_imaginations]):
+        if flag != "True":
+            continue
+        token_idxs = []
+        for (lo, hi) in nps[i]:
+            if segs is not None:
+                slo, shi = segs[i]
+                assert slo <= lo and hi <= shi, \
+                    f"noun phrase outside sub-instruction span ({instr_id})"
+            token_idxs.extend(range(lo, min(hi + 1, max_instr_len)))
+        if token_idxs:
+            w[i, token_idxs] = 1.0 / len(token_idxs)
+    return w
+
+
+def episodes_from_annotations(
+    items: list[dict],
+    graphs: list[ScanGraph],
+    meta: AuxMetadata,
+    max_instr_len: int,
+    max_gt_path_len: int,
+    max_imaginations: int,
+    imagine_feats: np.ndarray | None = None,
+) -> tuple[EpisodeBatch, list[str]]:
+    """Annotation dicts -> EpisodeBatch (+ instr_id list for eval joins)."""
+    scan_index = {g.scan_id: s for s, g in enumerate(graphs)}
+    id_maps = {g.scan_id: g.id_to_index for g in graphs}
+    B = len(items)
+    L, P, I = max_instr_len, max_gt_path_len, max_imaginations
+
+    scan = np.zeros(B, np.int32)
+    start = np.zeros(B, np.int32)
+    heading = np.zeros(B, np.float32)
+    gt_path = np.zeros((B, P), np.int32)
+    gt_len = np.zeros(B, np.int32)
+    txt_ids = np.zeros((B, L), np.int32)
+    txt_mask = np.zeros((B, L), bool)
+    np_w = np.zeros((B, I, L), np.float32)
+    imagine_mask = np.zeros((B, I), bool)
+    instr_ids = []
+
+    for b, item in enumerate(items):
+        instr_ids.append(item["instr_id"])
+        s = scan_index[item["scan"]]
+        idmap = id_maps[item["scan"]]
+        scan[b] = s
+        path = [idmap[v] for v in item["path"]][:P]
+        gt_len[b] = len(path)
+        gt_path[b, :len(path)] = path
+        gt_path[b, len(path):] = path[-1]
+        start[b] = path[0]
+        heading[b] = item.get("heading", 0.0)
+        enc = item["instr_encoding"][:L]
+        txt_ids[b, :len(enc)] = enc
+        txt_mask[b, :len(enc)] = True
+        np_w[b] = np_weight_matrix(item["instr_id"], meta, I, L)
+        flags = meta.generated_flags.get(item["instr_id"])
+        if flags is not None:
+            imagine_mask[b, :I] = [f == "True" for f in flags[:I]] + \
+                [False] * max(0, I - len(flags))
+
+    if imagine_feats is None:
+        imagine_feats = np.zeros((B, I, 768), np.float32)
+
+    ep = EpisodeBatch(
+        scan=scan, start_node=start, start_heading=heading,
+        gt_path=gt_path, gt_len=gt_len, txt_ids=txt_ids, txt_mask=txt_mask,
+        imagine_feats=imagine_feats, imagine_mask=imagine_mask,
+        np_weights=np_w)
+    return ep, instr_ids
+
+
+class RoundRobinSampler:
+    """Training batch order: sequential with reshuffle-on-wrap
+    (R2RBatch._next_minibatch, env.py:188-204)."""
+
+    def __init__(self, n: int, batch_size: int, seed: int = 0):
+        self.n = n
+        self.bs = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.order = self.rng.permutation(n)
+        self.ix = 0
+
+    def next_batch(self) -> np.ndarray:
+        take = self.order[self.ix: self.ix + self.bs]
+        if len(take) < self.bs:
+            self.order = self.rng.permutation(self.n)
+            self.ix = self.bs - len(take)
+            take = np.concatenate([take, self.order[: self.ix]])
+        else:
+            self.ix += self.bs
+        return take
+
+
+class EvalSampler:
+    """Whole-epoch eval order with 'looped' detection
+    (BaseAgent.test, agent_base.py:25-49): batches wrap; items seen twice are
+    dropped by the caller via the returned fresh-mask."""
+
+    def __init__(self, n: int, batch_size: int):
+        self.n = n
+        self.bs = batch_size
+        self.ix = 0
+        self.seen: set[int] = set()
+
+    def __iter__(self):
+        self.ix = 0
+        self.seen = set()
+        while len(self.seen) < self.n:
+            idxs = [(self.ix + k) % self.n for k in range(self.bs)]
+            self.ix = (self.ix + self.bs) % self.n
+            fresh = np.array([i not in self.seen for i in idxs])
+            self.seen.update(idxs)
+            yield np.asarray(idxs), fresh

@@ -257,31 +257,37 @@ class LXRTXLayer(nn.Module):
 
 class GraphLXRTXLayer(nn.Module):
     """DUET cross-modal layer (vilmodel.py:366-412): visual queries language,
-    then graph-sprel-biased self-attention + FFN. Language stream static."""
+    then graph-sprel-biased self-attention + FFN.  The language-side blocks
+    (used only by the pre-training MLM lang2visn path) are defined in setup so
+    both directions share one parameter set, as in the reference module."""
 
     config: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.visual_attention = BertXAttention(cfg)
+        self.visn_self_att = BertAttention(cfg)
+        self.visn_inter = BertIntermediate(cfg)
+        self.visn_output = BertOutput(cfg)
+        self.lang_self_att = BertAttention(cfg)
+        self.lang_inter = BertIntermediate(cfg)
+        self.lang_output = BertOutput(cfg)
+
     def __call__(self, lang, lang_mask, visn, visn_mask, graph_sprels=None,
                  deterministic=True):
-        cfg = self.config
-        visn_x = BertXAttention(cfg, name="visual_attention")(
-            visn, lang, lang_mask, deterministic)
+        visn_x = self.visual_attention(visn, lang, lang_mask, deterministic)
         bias = graph_sprels  # [B, 1, L, L] additive, added to the mask (:392-394)
-        visn_s = BertAttention(cfg, name="visn_self_att")(
-            visn_x, visn_mask, bias, deterministic)
-        visn_i = BertIntermediate(cfg, name="visn_inter")(visn_s)
-        return BertOutput(cfg, name="visn_output")(visn_i, visn_s, deterministic)
+        visn_s = self.visn_self_att(visn_x, visn_mask, bias, deterministic)
+        visn_i = self.visn_inter(visn_s)
+        return self.visn_output(visn_i, visn_s, deterministic)
 
     def lang2visn(self, lang, lang_mask, visn, visn_mask, deterministic=True):
         """forward_lang2visn (vilmodel.py:401-412)."""
-        cfg = self.config
-        lang_x = BertXAttention(cfg, name="visual_attention")(
-            lang, visn, visn_mask, deterministic)
-        lang_s = BertAttention(cfg, name="lang_self_att")(
-            lang_x, lang_mask, deterministic=deterministic)
-        lang_i = BertIntermediate(cfg, name="lang_inter")(lang_s)
-        return BertOutput(cfg, name="lang_output")(lang_i, lang_s, deterministic)
+        lang_x = self.visual_attention(lang, visn, visn_mask, deterministic)
+        lang_s = self.lang_self_att(lang_x, lang_mask,
+                                    deterministic=deterministic)
+        lang_i = self.lang_inter(lang_s)
+        return self.lang_output(lang_i, lang_s, deterministic)
 
 
 class PreNormEncoderLayer(nn.Module):

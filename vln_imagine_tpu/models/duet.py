@@ -45,16 +45,30 @@ class CrossmodalEncoder(nn.Module):
 
     config: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        self.layers = [GraphLXRTXLayer(self.config, name=f"x_layer_{i}")
+                       for i in range(self.config.num_x_layers)]
+
     def __call__(self, txt_embeds, txt_mask, img_embeds, img_mask,
                  graph_sprels=None, deterministic=True):
         ext_txt = extend_neg_mask(txt_mask)
         ext_img = extend_neg_mask(img_mask)
-        for i in range(self.config.num_x_layers):
-            img_embeds = GraphLXRTXLayer(self.config, name=f"x_layer_{i}")(
-                txt_embeds, ext_txt, img_embeds, ext_img,
-                graph_sprels=graph_sprels, deterministic=deterministic)
+        for layer in self.layers:
+            img_embeds = layer(txt_embeds, ext_txt, img_embeds, ext_img,
+                               graph_sprels=graph_sprels,
+                               deterministic=deterministic)
         return img_embeds
+
+    def lang2visn_stack(self, txt_embeds, txt_mask, img_embeds, img_mask,
+                        deterministic=True):
+        """Language-queries-visual stack used by the pre-training MLM
+        context (pretrain vilmodel.py:724-745)."""
+        ext_txt = extend_neg_mask(txt_mask)
+        ext_img = extend_neg_mask(img_mask)
+        for layer in self.layers:
+            txt_embeds = layer.lang2visn(txt_embeds, ext_txt, img_embeds,
+                                         ext_img, deterministic)
+        return txt_embeds
 
 
 class NavOut(NamedTuple):

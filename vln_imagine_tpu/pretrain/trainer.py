@@ -1,0 +1,234 @@
+"""Task-mixing pre-training loop.
+
+Rebuild of the reference driver (VLN-HAMT/pretrain_src/main_r2r.py:40-530):
+MetaLoader multinomial task draw -> per-task forward/loss -> grad-accum ->
+warmup-linear LR with clip 5.0 -> periodic per-task validation.  Each task
+gets one jitted step function (XLA specialises per task shapes); the mixing
+itself is a host-side shared-PRNG draw, replacing the dist.broadcast of the
+task id (pretrain_src/data/loader.py:56-59).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from vln_imagine_tpu.config import Config
+from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
+from vln_imagine_tpu.pretrain.data import MetaSampler, TrajectoryBatcher
+from vln_imagine_tpu.pretrain.hamt_model import HamtPretrainModel
+from vln_imagine_tpu.train.optim import pretrain_optimizer
+
+
+@struct.dataclass
+class PretrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+TASK_ARGS = {
+    "mlm": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+            "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+            "txt_labels"),
+    "sap": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+            "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+            "ob_img_fts", "ob_ang_fts", "ob_nav_types", "ob_masks",
+            "ob_action_viewindex"),
+    "sar": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+            "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+            "ob_img_fts", "ob_ang_fts", "ob_nav_types", "ob_masks",
+            "ob_action_angles", "ob_progress"),
+    "sprel": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+              "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+              "ob_img_fts", "ob_ang_fts", "ob_nav_types", "ob_masks",
+              "sp_anchor_idxs", "sp_targets"),
+    "mrc": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+            "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+            "hist_mrc_masks", "hist_img_probs"),
+    "itm": ("txt_ids", "txt_masks", "hist_img_fts", "hist_ang_fts",
+            "hist_pano_img_fts", "hist_pano_ang_fts", "hist_masks",
+            "neg_idxs", "shuffled_pos_ids"),
+}
+
+
+DUET_TASK_ARGS = {
+    "mlm": ("txt_ids", "txt_masks", "txt_labels", "traj_img", "traj_loc",
+            "traj_nav", "traj_valid", "agg", "gmap_step_ids", "gmap_pos_fts",
+            "gmap_valid", "vp_pos_fts", "vp_valid"),
+    "mrc": ("txt_ids", "txt_masks", "traj_img", "traj_loc", "traj_nav",
+            "traj_valid", "agg", "gmap_step_ids", "gmap_pos_fts",
+            "gmap_valid", "gmap_pair_dists", "vp_pos_fts", "vp_valid",
+            "vp_view_mrc_masks", "vp_view_probs"),
+    "sap": ("txt_ids", "txt_masks", "traj_img", "traj_loc", "traj_nav",
+            "traj_valid", "agg", "gmap_step_ids", "gmap_pos_fts",
+            "gmap_valid", "gmap_pair_dists", "gmap_visited", "vp_pos_fts",
+            "vp_valid", "vp_nav_valid", "cand_to_gmap", "global_act_labels",
+            "local_act_labels"),
+}
+
+
+class BasePretrainer:
+    task_args: dict[str, tuple]
+    model_cls: type
+
+    def __init__(self, cfg: Config):
+        pcfg = cfg.pretrain
+        self.cfg = cfg
+        self.sampler = MetaSampler(pcfg.tasks, pcfg.mix_ratio, pcfg.seed)
+        self.tx = pretrain_optimizer(pcfg.lr, pcfg.warmup_steps,
+                                     pcfg.num_train_steps,
+                                     max_grad_norm=pcfg.max_grad_norm)
+        self._rng = jax.random.PRNGKey(pcfg.seed)
+        self._steps: dict[str, Callable] = {}
+        self._evals: dict[str, Callable] = {}
+
+    def init_state(self) -> PretrainState:
+        rng, self._rng = jax.random.split(self._rng)
+        batches = {t: self.batcher.task_batch(t, 2)
+                   for t in self.cfg.pretrain.tasks}
+
+        def init_all(mdl):
+            for t, batch in batches.items():
+                args = tuple(jnp.asarray(batch[k]) for k in self.task_args[t])
+                getattr(mdl, f"forward_{t}")(*args)
+            return None
+
+        params = self.model.init(rng, method=init_all)
+        return PretrainState(step=jnp.zeros([], jnp.int32), params=params,
+                             opt_state=self.tx.init(params))
+
+    def _task_fn(self, task: str):
+        return getattr(self.model_cls, f"forward_{task}")
+
+    def _train_step(self, task: str):
+        if task in self._steps:
+            return self._steps[task]
+        model, tx = self.model, self.tx
+        method = self._task_fn(task)
+
+        @jax.jit
+        def step(state: PretrainState, rng, *args):
+            def loss_fn(params):
+                loss_sum, n, correct = model.apply(
+                    params, *args, method=method, deterministic=False,
+                    rngs={"dropout": rng})
+                return loss_sum / jnp.maximum(n, 1), (n, correct)
+
+            (loss, (n, correct)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            return PretrainState(state.step + 1, params, opt_state), {
+                "loss": loss, "n": n, "correct": correct}
+
+        self._steps[task] = step
+        return step
+
+    def _eval_step(self, task: str):
+        if task in self._evals:
+            return self._evals[task]
+        model = self.model
+        method = self._task_fn(task)
+
+        @jax.jit
+        def step(params, *args):
+            loss_sum, n, correct = model.apply(params, *args, method=method,
+                                               deterministic=True)
+            return loss_sum, n, correct
+
+        self._evals[task] = step
+        return step
+
+    # ------------------------------------------------------------------ api
+    def train(self, state: PretrainState, num_steps: int,
+              batch_size: int | None = None, log_every: int = 0,
+              log_fn=print) -> tuple[PretrainState, dict]:
+        bsz = batch_size or self.cfg.pretrain.batch_size
+        stats: dict[str, list] = {}
+        t0 = time.time()
+        examples = 0
+        for i in range(num_steps):
+            task = self.sampler.draw()
+            batch = self.batcher.task_batch(task, bsz)
+            args = tuple(jnp.asarray(batch[k]) for k in self.task_args[task])
+            rng, self._rng = jax.random.split(self._rng)
+            state, metrics = self._train_step(task)(state, rng, *args)
+            stats.setdefault(task, []).append(float(metrics["loss"]))
+            examples += bsz
+            if log_every and (i + 1) % log_every == 0:
+                ex_per_s = examples / (time.time() - t0)
+                means = {t: round(float(np.mean(v)), 4)
+                         for t, v in stats.items()}
+                log_fn(f"step {int(state.step)}: {means}  "
+                       f"({ex_per_s:.1f} ex/s)")
+        summary = {t: float(np.mean(v)) for t, v in stats.items()}
+        return state, summary
+
+    def validate(self, state: PretrainState, batch_size: int = 8,
+                 num_batches: int = 4) -> dict:
+        """Per-task loss/accuracy (main_r2r.py validate_* :303-316)."""
+        out = {}
+        for task in self.cfg.pretrain.tasks:
+            tot_loss = tot_n = tot_correct = 0.0
+            for _ in range(num_batches):
+                batch = self.batcher.task_batch(task, batch_size)
+                args = tuple(jnp.asarray(batch[k]) for k in self.task_args[task])
+                loss_sum, n, correct = self._eval_step(task)(state.params,
+                                                             *args)
+                tot_loss += float(loss_sum)
+                tot_n += float(n)
+                tot_correct += float(correct)
+            out[task] = {"loss": tot_loss / max(tot_n, 1),
+                         "acc": tot_correct / max(tot_n, 1)}
+        return out
+
+
+class HamtPretrainer(BasePretrainer):
+    task_args = TASK_ARGS
+    model_cls = HamtPretrainModel
+
+    def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
+                 image_prob_size: int = 64, seed: int | None = None):
+        super().__init__(cfg)
+        self.model = HamtPretrainModel(cfg.model,
+                                       image_prob_size=image_prob_size,
+                                       tasks=tuple(cfg.pretrain.tasks))
+        self.batcher = TrajectoryBatcher(
+            world, ep, max_hist_len=cfg.env.max_action_len,
+            angle_feat_size=cfg.model.angle_feat_size,
+            image_prob_size=image_prob_size,
+            vocab_size=cfg.model.vocab_size,
+            seed=seed if seed is not None else cfg.pretrain.seed)
+
+
+class DuetPretrainer(BasePretrainer):
+    """DUET 3-task pre-training (VLN-DUET/pretrain_src/train_r2r.py:39-457,
+    config/r2r_pretrain.json: mlm/mrc/sap 1:1:1)."""
+
+    task_args = DUET_TASK_ARGS
+
+    def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
+                 image_prob_size: int = 64, seed: int | None = None):
+        from vln_imagine_tpu.pretrain.duet_data import DuetTrajectoryBatcher
+        from vln_imagine_tpu.pretrain.duet_model import DuetPretrainModel
+
+        super().__init__(cfg)
+        self.model_cls = DuetPretrainModel
+        self.model = DuetPretrainModel(cfg.model,
+                                       image_prob_size=image_prob_size,
+                                       tasks=tuple(cfg.pretrain.tasks))
+        self.batcher = DuetTrajectoryBatcher(
+            world, ep, max_hist_len=cfg.env.max_action_len,
+            max_gmap_nodes=cfg.env.max_gmap_nodes,
+            angle_feat_size=cfg.model.angle_feat_size,
+            image_prob_size=image_prob_size,
+            vocab_size=cfg.model.vocab_size,
+            seed=seed if seed is not None else cfg.pretrain.seed)
