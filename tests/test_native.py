@@ -1,0 +1,97 @@
+"""Native C++ runtime vs the python compiler/host simulator."""
+
+import numpy as np
+import pytest
+
+from vln_imagine_tpu.envx.compiler import compile_world, closest_view
+from vln_imagine_tpu.envx.hostsim import GraphSimulator
+from vln_imagine_tpu.envx.synthetic import random_scan_graph
+
+native = pytest.importorskip("vln_imagine_tpu.native")
+
+
+@pytest.fixture(scope="module")
+def graph():
+    return random_scan_graph(np.random.default_rng(5), "scanN", 18)
+
+
+@pytest.fixture(scope="module")
+def nworld(graph):
+    return native.NativeWorld(graph.xyz, graph.edges)
+
+
+def test_native_allpairs_matches_python(graph, nworld):
+    world = compile_world([graph])
+    dist, nxt, hops = nworld.all_pairs()
+    n = graph.num_nodes
+    np.testing.assert_allclose(dist, np.asarray(world.dist)[0, :n, :n],
+                               rtol=1e-6)
+    np.testing.assert_array_equal(hops, np.asarray(world.hops)[0, :n, :n])
+    # next hops may differ on ties; verify they reconstruct optimal paths
+    for a in range(0, n, 3):
+        for b in range(0, n, 4):
+            cur, total, steps = a, 0.0, 0
+            while cur != b:
+                nx = int(nxt[cur, b])
+                total += dist[cur, nx]
+                cur = nx
+                steps += 1
+                assert steps <= n
+            assert abs(total - dist[a, b]) < 1e-6
+
+
+def test_native_sim_matches_hostsim(graph, nworld):
+    host = GraphSimulator({graph.scan_id: graph})
+    sim = native.NativeSim(nworld)
+    rng = np.random.default_rng(0)
+    node = 0
+    host.newEpisode(graph.scan_id, graph.node_ids[node], 1.234)
+    sim.new_episode(node, 1.234)
+    for _ in range(12):
+        hs = host.getState()
+        ns = sim.get_state()
+        assert ns["node"] == hs.location.ix
+        assert ns["view_index"] == hs.viewIndex
+        assert abs(ns["heading"] - hs.heading) < 1e-9
+        assert abs(ns["elevation"] - hs.elevation) < 1e-9
+        # same candidate sets with same closest views
+        hc = host.candidates()
+        nodes, pids, hh, ee = sim.candidates()
+        assert len(hc) == len(nodes)
+        for nd, pid, h, e in zip(nodes, pids, hh, ee):
+            want_pid, want_h, want_e = hc[graph.node_ids[nd]]
+            assert pid == want_pid
+            assert abs(h - want_h) < 1e-9
+            assert abs(e - want_e) < 1e-9
+        # random action: rotate or move to a random neighbour
+        if rng.random() < 0.5 or not len(nodes):
+            turn = int(rng.integers(-2, 3))
+            host.makeAction(0, float(turn), 0.0)
+            sim.make_action(0, float(turn), 0.0)
+        else:
+            j = int(rng.integers(0, len(nodes)))
+            # host navigable list: current first, then slot order
+            host_idx = [loc.ix for loc in host.getState().navigableLocations]
+            target = int(nodes[j])
+            hidx = host_idx.index(target)
+            host.makeAction(hidx, 0.0, 0.0)
+            sim.make_action(hidx, 0.0, 0.0)
+
+
+def test_native_closest_view_rule(nworld, graph):
+    sim = native.NativeSim(nworld)
+    sim.new_episode(0, 0.0)
+    _, pids, hs, es = sim.candidates()
+    for pid, h, e in zip(pids, hs, es):
+        assert pid == closest_view(h, e)
+
+
+def test_feature_bank_roundtrip(tmp_path):
+    arr = np.arange(24, dtype=np.float32).reshape(4, 6)
+    path = str(tmp_path / "bank.f32")
+    bank = native.FeatureBank.write(path, arr)
+    out = bank.gather(np.array([2, 0, 3]))
+    np.testing.assert_array_equal(out, arr[[2, 0, 3]])
+    # out-of-range rows come back zeroed
+    out2 = bank.gather(np.array([-1, 99]))
+    assert (out2 == 0).all()
