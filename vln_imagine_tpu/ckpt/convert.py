@@ -262,6 +262,38 @@ def duet_torch_to_flax_path(key: str) -> str | None:
     return None
 
 
+def vit_torch_to_flax_path(key: str) -> str | None:
+    """timm vit_base_patch16_224 state-dict key -> flax path
+    (models/vit.py; reference vendored ViT at
+    VLN-HAMT/pretrain_src/model/vision_transformer.py)."""
+    key = re.sub(r"^module\.", "", key)
+    if key in ("cls_token", "pos_embed"):
+        return key
+    m = re.match(r"^patch_embed\.proj\.(weight|bias)$", key)
+    if m:
+        return f"patch_embed/__conv_{m.group(1)}"
+    m = re.match(r"^blocks\.(\d+)\.(.*)$", key)
+    if m:
+        i, rest = m.group(1), m.group(2)
+        tbl = [
+            (r"^norm(1|2)\.(weight|bias)$", r"norm\1/\2"),
+            (r"^attn\.qkv\.(weight|bias)$", r"qkv/\1"),
+            (r"^attn\.proj\.(weight|bias)$", r"proj/\1"),
+            (r"^mlp\.fc(1|2)\.(weight|bias)$", r"fc\1/\2"),
+        ]
+        for pat, repl in tbl:
+            if re.match(pat, rest):
+                return f"block_{i}/" + re.sub(pat, repl, rest)
+        return None
+    m = re.match(r"^norm\.(weight|bias)$", key)
+    if m:
+        return f"norm/{m.group(1)}"
+    if key in ("head.weight", "head.bias", "pre_logits.fc.weight",
+               "pre_logits.fc.bias"):
+        return None  # classification head unused for feature extraction
+    return None
+
+
 def critic_torch_to_flax_path(key: str) -> str | None:
     key = re.sub(r"^module\.", "", key)
     m = re.match(r"^state2value\.0\.(weight|bias)$", key)
@@ -309,9 +341,16 @@ def convert_state_dict(
             kind = "weight" if path.endswith("in_proj_weight") else "bias"
             pending_inproj.setdefault(base, {})[kind] = v
             continue
-        if leaf == "weight":
+        if leaf == "__conv_weight":
+            # torch conv [out, in, kh, kw] -> flax [kh, kw, in, out]
+            _set_path(params, path.rsplit("/", 1)[0] + "/kernel",
+                      v.transpose(2, 3, 1, 0))
+        elif leaf == "__conv_bias":
+            _set_path(params, path.rsplit("/", 1)[0] + "/bias", v)
+        elif leaf == "weight":
             parent = path.rsplit("/", 2)[-2] if "/" in path else ""
-            if parent == "ln" or path.endswith(("norm1/weight", "norm2/weight")):
+            if parent == "ln" or v.ndim == 1 or \
+                    path.endswith(("norm1/weight", "norm2/weight")):
                 # LayerNorm weight -> scale
                 _set_path(params, path.rsplit("/", 1)[0] + "/scale", v)
             elif v.ndim == 2:
