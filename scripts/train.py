@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Fine-tune entry point (the reference's r2r/main.py + scripts/run_r2r.sh).
+
+Real data:
+  python scripts/train.py --agent hamt --connectivity-dir .../connectivity \\
+      --anno-dir .../annotations --img-features .../vit_features.hdf5 \\
+      --imagine-features .../imagine.hdf5 --splits train val_seen val_unseen
+
+Synthetic smoke run (no datasets needed):
+  python scripts/train.py --agent hamt --synthetic --iters 20 --log-every 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agent", choices=["hamt", "duet"], default="hamt")
+    p.add_argument("--dataset", default="r2r",
+                   choices=["r2r", "r2r_back", "r4r", "rxr", "cvdn",
+                            "reverie", "soon"])
+    p.add_argument("--log-dir", default="logs/run")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--log-every", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    # data
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--connectivity-dir")
+    p.add_argument("--anno-dir")
+    p.add_argument("--img-features")
+    p.add_argument("--imagine-features")
+    p.add_argument("--sub-instr-file")
+    p.add_argument("--generated-flag-file")
+    p.add_argument("--splits", nargs="+",
+                   default=["train", "val_seen", "val_unseen"])
+    p.add_argument("--resume")
+    return p.parse_args()
+
+
+def build_synthetic(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from vln_imagine_tpu.driver import SplitData
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+
+    world_np, _ = synthetic_world(
+        num_scans=4, num_nodes=48, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
+    tables = jax.tree.map(jnp.asarray, world_np)
+
+    def split(name, n, seed):
+        ep = synthetic_episodes(
+            world_np, batch=n, max_gt_path_len=cfg.env.max_gt_path_len,
+            max_instr_len=cfg.env.max_instr_len,
+            max_imaginations=cfg.model.max_imagination_len,
+            vocab_size=cfg.model.vocab_size,
+            feat_dim=cfg.model.hidden_size, seed=seed)
+        return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
+
+    return tables, split("train", 64, 1), [split("val_seen", 16, 2),
+                                           split("val_unseen", 16, 3)]
+
+
+def build_real(cfg, args):
+    import jax
+    import jax.numpy as jnp
+
+    from vln_imagine_tpu.data.annotations import (
+        AuxMetadata,
+        construct_instrs,
+        episodes_from_annotations,
+    )
+    from vln_imagine_tpu.data.features import (
+        ImageFeaturesDB,
+        ImaginationImageFeaturesDB,
+        build_feature_table,
+        build_imagination_arrays,
+    )
+    from vln_imagine_tpu.driver import SplitData
+    from vln_imagine_tpu.envx.compiler import compile_world, load_connectivity
+
+    all_items = {s: construct_instrs(args.anno_dir, args.dataset, [s])
+                 for s in args.splits}
+    scans = sorted({it["scan"] for items in all_items.values()
+                    for it in items})
+    graphs = load_connectivity(args.connectivity_dir, scans)
+
+    feat_db = ImageFeaturesDB(args.img_features, cfg.model.image_feat_size)
+    feat = build_feature_table(feat_db, graphs, cfg.env.views,
+                               cfg.model.image_feat_size)
+    world = compile_world(graphs, max_candidates=cfg.env.max_candidates,
+                          views=cfg.env.views, feat=feat)
+    tables = jax.tree.map(jnp.asarray, world)
+
+    meta = AuxMetadata.load(args.sub_instr_file, args.generated_flag_file)
+    imag_db = (ImaginationImageFeaturesDB(args.imagine_features,
+                                          cfg.model.hidden_size)
+               if args.imagine_features else None)
+
+    def make_split(name):
+        items = all_items[name]
+        imagine = None
+        if imag_db is not None and meta.generated_flags:
+            imagine, _ = build_imagination_arrays(
+                imag_db, [it["instr_id"] for it in items],
+                meta.generated_flags, cfg.model.max_imagination_len,
+                cfg.model.hidden_size)
+        ep, ids = episodes_from_annotations(
+            items, graphs, meta, cfg.env.max_instr_len,
+            cfg.env.max_gt_path_len, cfg.model.max_imagination_len, imagine)
+        return SplitData(name, ep, ids)
+
+    train = make_split(args.splits[0])
+    vals = [make_split(s) for s in args.splits[1:]]
+    return tables, train, vals
+
+
+def main():
+    args = parse_args()
+    from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
+        tiny_test_config, _replace
+    from vln_imagine_tpu.driver import FinetuneDriver
+
+    if args.synthetic:
+        cfg = tiny_test_config(args.agent)
+    else:
+        cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
+    cfg = cfg.replace(dataset=args.dataset)
+    overrides = {}
+    for k in ("iters", "log_every", "batch_size", "lr"):
+        v = getattr(args, k.replace("-", "_"), None)
+        if v is not None:
+            overrides[k] = v
+    overrides["seed"] = args.seed
+    cfg = _replace(cfg, "train", **overrides)
+
+    if args.synthetic:
+        tables, train, vals = build_synthetic(cfg)
+    else:
+        tables, train, vals = build_real(cfg, args)
+
+    driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir)
+    driver.setup()
+    if args.resume:
+        driver.state = driver.ckpt.load(args.resume, driver.state)
+    driver.run(iters=args.iters, log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Fine-tune training driver: the main.py train/valid loop.
+
+Rebuild of VLN-HAMT/finetune_src/r2r/main.py:138-461 (HAMT) /
+VLN-DUET/map_nav_src/r2r/main_nav.py (DUET): train in log_every intervals,
+validate each val split greedily, keep best (spl+sr for HAMT, spl for DUET) /
+latest / periodic snapshots, append record files and scalar logs.  The
+3-stage warm-up lives inside the optimizer schedule (train/optim.py), so the
+driver needs none of the reference's per-interval LR/freeze mutation
+(main.py:200-278) — its runtime assertions live in tests/test_warmup.py.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vln_imagine_tpu.ckpt.manager import CheckpointManager
+from vln_imagine_tpu.config import Config
+from vln_imagine_tpu.data.annotations import EvalSampler, RoundRobinSampler
+from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
+from vln_imagine_tpu.eval.metrics import eval_batch, trajectories_from_rollout
+from vln_imagine_tpu.utils.logger import (
+    MetricsWriter,
+    dump_args,
+    write_to_record_file,
+)
+
+
+@dataclass
+class SplitData:
+    name: str
+    episodes: EpisodeBatch          # full split, host-side arrays
+    instr_ids: list = field(default_factory=list)
+
+
+def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idxs]), ep)
+
+
+class FinetuneDriver:
+    def __init__(self, cfg: Config, tables: WorldTables,
+                 train_split: SplitData, val_splits: list[SplitData],
+                 log_dir: str, rng=None):
+        self.cfg = cfg
+        self.tables = tables
+        self.train_split = train_split
+        self.val_splits = val_splits
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        dump_args(cfg, log_dir)
+        self.writer = MetricsWriter(log_dir)
+        self.record_file = os.path.join(log_dir, "train.txt")
+        self.ckpt = CheckpointManager(
+            os.path.join(log_dir, "ckpts"),
+            select_metric="spl_sr" if cfg.agent == "hamt" else "spl")
+        self._rng = rng if rng is not None else jax.random.PRNGKey(
+            cfg.train.seed)
+
+        if cfg.agent == "hamt":
+            from vln_imagine_tpu.train.trainer import HamtTrainer
+            self.trainer = HamtTrainer(cfg, tables)
+            self._feedback = "sample"
+        else:
+            from vln_imagine_tpu.train.trainer_duet import DuetTrainer
+            self.trainer = DuetTrainer(cfg, tables)
+            self._feedback = None  # train_alg drives it
+        self.sampler = RoundRobinSampler(
+            train_split.episodes.scan.shape[0], cfg.train.batch_size,
+            cfg.train.seed)
+        self.state = None
+        self._train_step: Callable | None = None
+        self._eval_step: Callable | None = None
+
+    # ------------------------------------------------------------------ init
+    def setup(self, init_params: Any | None = None):
+        example = _take(self.train_split.episodes,
+                        np.arange(self.cfg.train.batch_size))
+        self.state = self.trainer.init_state(example)
+        if init_params is not None:
+            self.state = self.state.replace(params=init_params)
+        if self.cfg.agent == "hamt":
+            self._train_step = self.trainer.make_train_step(self._feedback)
+        else:
+            self._train_step = self.trainer.make_train_step()
+        self._eval_step = self.trainer.make_eval_step()
+
+    # ----------------------------------------------------------------- train
+    def train_interval(self, n_iters: int) -> dict:
+        logs: dict[str, list] = {}
+        for _ in range(n_iters):
+            i1 = self.sampler.next_batch()
+            i2 = self.sampler.next_batch()
+            ep1 = _take(self.train_split.episodes, i1)
+            ep2 = _take(self.train_split.episodes, i2)
+            rng, self._rng = jax.random.split(self._rng)
+            self.state, metrics = self._train_step(self.state, ep1, ep2, rng)
+            for k, v in metrics.items():
+                logs.setdefault(k, []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in logs.items()}
+
+    # ------------------------------------------------------------------ eval
+    def validate(self, split: SplitData, batch_size: int | None = None
+                 ) -> dict:
+        bs = batch_size or self.cfg.train.batch_size
+        n = split.episodes.scan.shape[0]
+        paths, gts, scans, kept_ids = [], [], [], []
+        for idxs, fresh in EvalSampler(n, bs):
+            ep = _take(split.episodes, idxs)
+            rng, self._rng = jax.random.split(self._rng)
+            pn, pl = self._eval_step(self.state.params, ep, rng)
+            pn, pl = np.asarray(pn), np.asarray(pl)
+            for j, keep in enumerate(fresh):
+                if not keep:
+                    continue
+                b = idxs[j]
+                paths.append(list(pn[j, :pl[j]]))
+                gt = np.asarray(split.episodes.gt_path)[b]
+                gl = int(np.asarray(split.episodes.gt_len)[b])
+                gts.append(list(gt[:gl]))
+                scans.append(int(np.asarray(split.episodes.scan)[b]))
+                kept_ids.append(split.instr_ids[b] if split.instr_ids else b)
+        avg, per = eval_batch(np.asarray(self.tables.dist),
+                              np.asarray(scans), paths, gts, kept_ids)
+        return avg
+
+    # ------------------------------------------------------------------ loop
+    def run(self, iters: int | None = None, log_every: int | None = None):
+        cfg = self.cfg
+        iters = iters or cfg.train.iters
+        log_every = log_every or cfg.train.log_every
+        if self.state is None:
+            self.setup()
+        start = time.time()
+        for idx in range(0, iters, log_every):
+            interval = min(log_every, iters - idx)
+            it = idx + interval
+            train_metrics = self.train_interval(interval)
+            self.writer.add_scalars(train_metrics, it, prefix="loss")
+            loss_str = f"iter {it}"
+            for split in self.val_splits:
+                score = self.validate(split)
+                self.writer.add_scalars(score, it, prefix=split.name)
+                loss_str += f", {split.name} " + ", ".join(
+                    f"{k}: {v:.2f}" for k, v in score.items())
+                if split.name.startswith("val_unseen"):
+                    if it % 2000 == 0:
+                        self.ckpt.save_snapshot(self.state, it, score["sr"],
+                                                score["spl"], split.name)
+                    self.ckpt.maybe_save_best(self.state, split.name, score)
+            self.ckpt.save_latest(self.state)
+            write_to_record_file(
+                f"[{time.time() - start:.0f}s] {loss_str} | "
+                + ", ".join(f"{k}={v:.4f}" for k, v in train_metrics.items()),
+                self.record_file, verbose=True)
+        return self.state

@@ -77,6 +77,7 @@ class NavOut(NamedTuple):
     fused_logits: jnp.ndarray   # [B, G+1]
     gmap_embeds: jnp.ndarray
     vp_embeds: jnp.ndarray
+    obj_logits: Optional[jnp.ndarray] = None  # [B, T_pano+1] (REVERIE/SOON)
 
 
 class DuetModel(nn.Module):
@@ -117,6 +118,11 @@ class DuetModel(nn.Module):
         if cfg.glocal_fuse:
             self.sap_fuse_linear = ClsPrediction(cfg,
                                                  input_size=2 * cfg.hidden_size)
+        if cfg.obj_feat_size > 0:
+            self.og_head = ClsPrediction(cfg)
+            if cfg.obj_feat_size != cfg.image_feat_size:
+                self.obj_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+                self.obj_layer_norm = LayerNorm12()
         if cfg.imagine_enc_pano:
             if cfg.bypass_imag_encoder:
                 self.imagine_embeddings = BypassImagineEmbeddings(cfg)
@@ -187,7 +193,8 @@ class DuetModel(nn.Module):
         gmap_pair_dists, gmap_visited,
         vp_img_embeds, vp_pos_fts, vp_valid, vp_nav_valid,
         cand_to_gmap,       # [B, G+1, T_pano+1] bool: gmap slot g matches vp slot j
-        imagine_embeds=None, imagine_mask=None, deterministic=True,
+        imagine_embeds=None, imagine_mask=None, vp_obj_valid=None,
+        deterministic=True,
     ) -> NavOut:
         cfg = self.config
 
@@ -233,9 +240,15 @@ class DuetModel(nn.Module):
         fused = fused_logit_merge(global_logits, local_logits, gmap_visited,
                                   gmap_valid, vp_nav_valid, cand_to_gmap)
 
+        # object grounding logits (REVERIE/SOON; vilmodel.py:1221-1225)
+        obj_logits = None
+        if cfg.obj_feat_size > 0 and vp_obj_valid is not None:
+            obj_logits = self.og_head(vp_embeds)[..., 0]
+            obj_logits = mask_logits(obj_logits, vp_obj_valid)
+
         return NavOut(global_logits=global_logits, local_logits=local_logits,
                       fused_logits=fused, gmap_embeds=gmap_embeds,
-                      vp_embeds=vp_embeds)
+                      vp_embeds=vp_embeds, obj_logits=obj_logits)
 
 
 def fused_logit_merge(global_logits, local_logits, gmap_visited, gmap_valid,
