@@ -152,19 +152,18 @@ class DuetModel(nn.Module):
                                     deterministic=True):
         """Identical math to the HAMT version (see models/hamt.py), with the
         DUET option of detaching the text stream (vilmodel.py:1249-1255)."""
+        from vln_imagine_tpu.models.hamt import contrastive_alignment_loss
+
         if self.config.fix_lang_inside_cosine_model:
             txt_embeds = jax.lax.stop_gradient(txt_embeds)
         proj = self.image_proj(imagine_embeds, deterministic=deterministic)
         mean_np = jnp.einsum("bil,blh->bih",
                              np_weights.astype(txt_embeds.dtype), txt_embeds)
         valid = imagine_mask & (jnp.sum(np_weights, axis=-1) > 0)
-        pn = proj.astype(jnp.float32)
-        mn = mean_np.astype(jnp.float32)
-        pn = pn / jnp.maximum(jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-8)
-        mn = mn / jnp.maximum(jnp.linalg.norm(mn, axis=-1, keepdims=True), 1e-8)
-        cos = jnp.sum(pn * mn, axis=-1)
-        per = (1.0 - cos) * valid
-        loss = jnp.sum(per) / jnp.maximum(jnp.sum(valid), 1)
+        loss = contrastive_alignment_loss(
+            proj, mean_np, valid, self.config.aux_loss_type,
+            self.config.infonce_temperature,
+            self.config.contrastive_margin_value)
         new_imagine = jnp.where(valid[:, :, None], proj, imagine_embeds)
         return loss, new_imagine
 

@@ -155,6 +155,57 @@ class ImagineEmbeddings(nn.Module):
         return nn.Dropout(cfg.hidden_dropout_prob, deterministic=deterministic)(x)
 
 
+def contrastive_alignment_loss(proj, mean_np, valid, aux_loss_type="cosine",
+                               temperature=0.3, margin=1.0):
+    """Imagination-text alignment losses over [B, I, H] projections.
+
+    - 'cosine': mean over valid rows of 1 - cos(proj, mean_np)
+      (AlignWithContrastiveLoss, vilmodel_cmt.py:777-788)
+    - 'infonce': CE of the positive against cross-batch noun-phrase-mean
+      negatives at `temperature` (compute_contrastive_loss_infonce :793-823)
+    - 'margin': pos loss + mean hinge(margin + neg_sim - pos_sim)
+      (compute_contrastive_loss_margin :825-856)
+    """
+    B, I, _ = proj.shape
+    f32 = jnp.float32
+
+    def unit(x):
+        x = x.astype(f32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                               1e-8)
+
+    pn, mn = unit(proj), unit(mean_np)
+    pos_sim = jnp.sum(pn * mn, axis=-1)                    # [B, I]
+    count = jnp.maximum(jnp.sum(valid), 1)
+
+    if aux_loss_type == "cosine":
+        return jnp.sum((1.0 - pos_sim) * valid) / count
+
+    # similarity of every projection to every batch item's noun-phrase means
+    sim = jnp.einsum("bih,cjh->bicj", pn, mn)              # [B, I, B, I]
+    # negatives: valid rows of *other* batch items (vilmodel_cmt.py:907)
+    other = (jnp.arange(B)[:, None] != jnp.arange(B)[None, :])  # [B, C]
+    neg_mask = other[:, None, :, None] & valid[None, None, :, :]
+    neg_mask = jnp.broadcast_to(neg_mask, sim.shape)
+
+    if aux_loss_type == "infonce":
+        logits_pos = pos_sim / temperature                 # [B, I]
+        logits_neg = jnp.where(neg_mask, sim / temperature, -jnp.inf)
+        flat_neg = logits_neg.reshape(B, I, -1)
+        all_logits = jnp.concatenate([logits_pos[..., None], flat_neg], -1)
+        m = jnp.max(all_logits, axis=-1, keepdims=True)
+        lse = m[..., 0] + jnp.log(jnp.sum(jnp.exp(all_logits - m), -1))
+        ce = lse - logits_pos
+        return jnp.sum(ce * valid) / count
+    if aux_loss_type == "margin":
+        hinge = jnp.maximum(margin + sim - pos_sim[:, :, None, None], 0.0)
+        n_neg = jnp.maximum(jnp.sum(neg_mask, axis=(2, 3)), 1)
+        neg_loss = jnp.sum(jnp.where(neg_mask, hinge, 0.0), (2, 3)) / n_neg
+        per = (1.0 - pos_sim) + neg_loss
+        return jnp.sum(per * valid) / count
+    raise ValueError(aux_loss_type)
+
+
 class VisualOut(NamedTuple):
     act_logits: jnp.ndarray   # [B, T_obs]
     txt_embeds: jnp.ndarray   # [B, L, H]
@@ -238,30 +289,30 @@ class HamtModel(nn.Module):
     def align_with_contrastive_loss(self, txt_embeds, txt_mask, imagine_embeds,
                                     imagine_mask, np_weights,
                                     deterministic=True):
-        """Cosine alignment of projected imagination embeddings to the mean
-        noun-phrase token embedding of their sub-instruction
-        (vilmodel_cmt.py:730-790), as one matmul.
+        """Alignment of projected imagination embeddings to the mean
+        noun-phrase token embedding of their sub-instruction, as one matmul.
 
         np_weights[b, i] is a distribution over instruction tokens (1/n on the
         noun-phrase tokens of sub-instruction i, 0 elsewhere; all-zero when the
         sub-instruction has no noun phrases).  Returns (loss, new_imagine):
         valid rows are overwritten with their projection, reproducing the
-        reference's in-place update (:781) that feeds *projected* embeddings to
-        the navigator."""
+        reference's in-place update (vilmodel_cmt.py:781) that feeds
+        *projected* embeddings to the navigator.
+
+        aux_loss_type selects cosine (AlignWithContrastiveLoss :730-790),
+        InfoNCE or margin (AlignWithContrastiveLossWithNegativeSamples
+        :858-950 + :793-856).  Negatives for the contrastive variants are the
+        other batch items' noun-phrase means (the reference enumerates
+        individual noun phrases; here one mean per imagination row — same
+        pool granularity as the positives)."""
         proj = self.image_proj(imagine_embeds, deterministic=deterministic)
         mean_np = jnp.einsum("bil,blh->bih", np_weights.astype(txt_embeds.dtype),
                              txt_embeds)
         valid = imagine_mask & (jnp.sum(np_weights, axis=-1) > 0)
-
-        pn = proj / jnp.maximum(
-            jnp.linalg.norm(proj.astype(jnp.float32), axis=-1, keepdims=True), 1e-8)
-        mn = mean_np / jnp.maximum(
-            jnp.linalg.norm(mean_np.astype(jnp.float32), axis=-1, keepdims=True), 1e-8)
-        cos = jnp.sum(pn.astype(jnp.float32) * mn.astype(jnp.float32), axis=-1)
-        per = (1.0 - cos) * valid
-        count = jnp.maximum(jnp.sum(valid), 1)
-        loss = jnp.sum(per) / count
-
+        loss = contrastive_alignment_loss(
+            proj, mean_np, valid, self.config.aux_loss_type,
+            self.config.infonce_temperature,
+            self.config.contrastive_margin_value)
         new_imagine = jnp.where(valid[:, :, None], proj, imagine_embeds)
         return loss, new_imagine
 
