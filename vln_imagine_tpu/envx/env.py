@@ -319,3 +319,32 @@ def dtw_ndtw(row: jnp.ndarray, ep: EpisodeBatch,
     """nDTW of the current prediction against the (masked) reference."""
     dtw = jnp.take_along_axis(row, ep.gt_len[:, None], axis=1)[:, 0]
     return jnp.exp(-dtw / (threshold * ep.gt_len.astype(jnp.float32)))
+
+
+def dtw_push_multi(tables: WorldTables, ep: EpisodeBatch, rows: jnp.ndarray,
+                   new_nodes: jnp.ndarray) -> jnp.ndarray:
+    """Vectorized dtw_push over M hypothetical extensions per item:
+    rows [B, M, P+1], new_nodes [B, M] -> updated rows.  Used by the DUET
+    nDTW expert policy (agent.py:270-277) to score every map node's
+    path-extension in parallel."""
+    P = ep.gt_path.shape[1]
+    cost = tables.dist[ep.scan[:, None, None], new_nodes[:, :, None],
+                       ep.gt_path[:, None, :]]          # [B, M, P]
+    new_rows = jnp.full_like(rows, INF)
+
+    def body(j, acc):
+        best_prev = jnp.minimum(jnp.minimum(rows[..., j], rows[..., j - 1]),
+                                acc[..., j - 1])
+        return acc.at[..., j].set(cost[..., j - 1] + best_prev)
+
+    return jax.lax.fori_loop(1, P + 1, body, new_rows)
+
+
+def dtw_ndtw_multi(rows: jnp.ndarray, ep: EpisodeBatch,
+                   threshold: float = 3.0) -> jnp.ndarray:
+    """[B, M, P+1] rows -> [B, M] nDTW values."""
+    B, M, _ = rows.shape
+    dtw = jnp.take_along_axis(
+        rows, jnp.broadcast_to(ep.gt_len[:, None, None], (B, M, 1)),
+        axis=2)[..., 0]
+    return jnp.exp(-dtw / (threshold * ep.gt_len[:, None].astype(jnp.float32)))

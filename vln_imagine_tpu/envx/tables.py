@@ -73,6 +73,7 @@ class EpisodeBatch:
     # (row i sums to 1 over the noun-phrase tokens of sub-instruction i; used by
     #  the contrastive aux loss, replacing the python double loop in
     #  vilmodel_cmt.py:750-790)
+    midstop: Optional[jnp.ndarray] = None  # [B] i32 r2r_back turn-around node
 
     @property
     def batch(self) -> int:

@@ -87,8 +87,22 @@ def _staged_schedule(base_lr: float, total_iters: int,
 
 def _adam_like(name: str, lr: Callable | float,
                weight_decay: float = 0.0) -> optax.GradientTransformation:
+    """Optimizer family matching the reference's optim/ directory:
+    adam/adamw/rms/sgd (agent_cmt.py:69-78), radam (pretrain_src/optim/
+    adamw.py sibling RAdam), ralamb (RAdam + LARS trust ratio),
+    rangerlars (Ralamb + Lookahead, optim/rangerlars.py)."""
     if name in ("adam", "adamw"):
         tx = optax.scale_by_adam(eps=1e-8)
+    elif name == "radam":
+        tx = optax.scale_by_radam()
+    elif name == "ralamb":
+        tx = optax.chain(optax.scale_by_radam(),
+                         optax.scale_by_trust_ratio())
+    elif name == "rangerlars":
+        # Lookahead applied at the chain level via lookahead_wrapper below;
+        # the inner update is Ralamb.
+        tx = optax.chain(optax.scale_by_radam(),
+                         optax.scale_by_trust_ratio())
     elif name == "rms":
         tx = optax.scale_by_rms()
     elif name == "sgd":
@@ -138,7 +152,51 @@ def plain_optimizer(base_lr: float, optim: str = "adamw",
     if max_grad_norm:
         parts.append(optax.clip_by_global_norm(max_grad_norm))
     parts.append(_adam_like(optim, base_lr, weight_decay))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if optim == "rangerlars":
+        tx = lookahead_wrapper(tx)
+    return tx
+
+
+class _LookaheadState(NamedTuple):
+    inner: Any
+    slow: Any
+    count: jnp.ndarray
+
+
+def lookahead_wrapper(inner: optax.GradientTransformation, k: int = 6,
+                      alpha: float = 0.5) -> optax.GradientTransformation:
+    """Lookahead (pretrain_src/optim/lookahead.py): every k fast steps, pull
+    the slow weights alpha of the way towards the fast weights and reset.
+    Expressed on the update stream: the emitted update every k-th step
+    includes the slow-weight correction."""
+
+    def init(params):
+        return _LookaheadState(inner.init(params),
+                               jax.tree.map(jnp.asarray, params),
+                               jnp.zeros([], jnp.int32))
+
+    def update(updates, state, params=None):
+        fast_updates, inner_state = inner.update(updates, state.inner, params)
+        count = state.count + 1
+        sync = (count % k) == 0
+
+        def on_sync(_):
+            # fast params after this step
+            fast = jax.tree.map(lambda p, u: p + u, params, fast_updates)
+            new_slow = jax.tree.map(
+                lambda s, f: s + alpha * (f - s), state.slow, fast)
+            # emitted update moves params to the new slow weights
+            out = jax.tree.map(lambda s, p: s - p, new_slow, params)
+            return out, new_slow
+
+        def no_sync(_):
+            return fast_updates, state.slow
+
+        out, slow = jax.lax.cond(sync, on_sync, no_sync, None)
+        return out, _LookaheadState(inner_state, slow, count)
+
+    return optax.GradientTransformation(init, update)
 
 
 def warmup_linear_schedule(base_lr: float, warmup_steps: int,

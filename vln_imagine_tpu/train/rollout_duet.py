@@ -30,6 +30,7 @@ from vln_imagine_tpu.ops.masks import LOGIT_NEG_INF
 
 MAX_TELEPORT_HOPS = 6
 MAX_BACKTRACK_HOPS = 8
+MAX_EXPERT_HOPS = 8  # nDTW expert path-extension horizon
 
 
 class DuetRolloutResult(NamedTuple):
@@ -118,12 +119,21 @@ def rollout_duet(
     path0 = jnp.zeros((B, PB), jnp.int32)
     path0 = path0.at[:, 0].set(ep.start_node)
     plen0 = jnp.ones((B,), jnp.int32)
+    dtw_row0 = envx.dtw_init(tables, ep)
 
     goal = ep.goal
     dist_full = tables.dist  # [S, N, N]
+    expert_policy = cfg.train.expert_policy
+
+    def _dtw_extend(row, hop_nodes, hop_valid):
+        """Fold a sequence of appended path nodes into the DTW row."""
+        def body(i, r):
+            new_r = envx.dtw_push(tables, ep, r, hop_nodes[:, i])
+            return jnp.where(hop_valid[:, i][:, None], new_r, r)
+        return jax.lax.fori_loop(0, hop_nodes.shape[1], body, row)
 
     def step_fn(carry, t):
-        st, gm, path, plen, ml_acc, ent_acc, key = carry
+        st, gm, path, plen, dtw_row, ml_acc, ent_acc, key = carry
         key, k_pano, k_nav, k_act = jax.random.split(key, 4)
         active = ~st.ended
 
@@ -230,11 +240,36 @@ def rollout_duet(
             is_stop = t >= ep.gt_len - 1
             teacher = jnp.where(is_stop, 0, slot)
         else:
-            cand_cost = (dist_full[ep.scan[:, None], gnodes, goal[:, None]]
-                         + dist_full[ep.scan[:, None], st.node[:, None],
-                                     gnodes])
             cand_ok = gvalid_s & ~gvisited_s
-            cand_cost = jnp.where(cand_ok, cand_cost, INF)
+            if expert_policy == "ndtw":
+                # score each unvisited node by the nDTW of the trajectory
+                # extended along the full-graph shortest path to it
+                # (agent.py:270-277)
+                rows = jnp.broadcast_to(dtw_row[:, None, :],
+                                        (B, Gcap) + dtw_row.shape[1:])
+                cur_m = jnp.broadcast_to(st.node[:, None], (B, Gcap))
+
+                def hop(_, hc):
+                    rows, cur_m, done = hc
+                    nxt = tables.next_hop[ep.scan[:, None], cur_m, gnodes]
+                    stepping = ~done & (cur_m != gnodes)
+                    nxt = jnp.where(stepping, nxt, cur_m)
+                    new_rows = envx.dtw_push_multi(tables, ep, rows, nxt)
+                    rows = jnp.where(stepping[..., None], new_rows, rows)
+                    done = done | (nxt == gnodes)
+                    return rows, nxt, done
+
+                rows, _, _ = jax.lax.fori_loop(
+                    0, MAX_EXPERT_HOPS, hop,
+                    (rows, cur_m, jnp.zeros((B, Gcap), bool)))
+                ndtw_g = envx.dtw_ndtw_multi(rows, ep, ecfg.error_margin)
+                cand_cost = jnp.where(cand_ok, -ndtw_g, INF)
+            else:  # 'spl'
+                cand_cost = (dist_full[ep.scan[:, None], gnodes,
+                                       goal[:, None]]
+                             + dist_full[ep.scan[:, None], st.node[:, None],
+                                         gnodes])
+                cand_cost = jnp.where(cand_ok, cand_cost, INF)
             slot = jnp.argmin(cand_cost, axis=1) + 1
             teacher = jnp.where(st.node == goal, 0, slot)
         teacher = jnp.where(st.ended, ignore, teacher)
@@ -288,6 +323,7 @@ def rollout_duet(
         moving = ~stop_now & ~st.ended
         hop_valid = hop_valid & moving[:, None]
         path, plen = _append_path(path, plen, hop_nodes, hop_valid)
+        dtw_row = _dtw_extend(dtw_row, hop_nodes, hop_valid)
 
         n_hops = jnp.sum(hop_valid, axis=1)
         last_idx = jnp.maximum(n_hops - 2, 0)
@@ -316,6 +352,7 @@ def rollout_duet(
                                                MAX_BACKTRACK_HOPS)
         back_valid = back_valid & do_back[:, None]
         path, plen = _append_path(path, plen, back_nodes, back_valid)
+        dtw_row = _dtw_extend(dtw_row, back_nodes, back_valid)
 
         st2 = st.replace(node=new_node, view_index=new_view,
                          ended=st.ended | stop_now, step=st.step + 1)
@@ -331,14 +368,14 @@ def rollout_duet(
                          obs2.cand_valid & active2[:, None])
         gm = G.relax(gm, st2.node, active2)
 
-        carry = (st2, gm, path, plen, ml_acc, ent_acc, key)
+        carry = (st2, gm, path, plen, dtw_row, ml_acc, ent_acc, key)
         return carry, (nav_logits, a_t)
 
     rng, k_scan = jax.random.split(rng)
-    carry0 = (state0, gm, path0, plen0, jnp.asarray(0.0), jnp.asarray(0.0),
-              k_scan)
+    carry0 = (state0, gm, path0, plen0, dtw_row0, jnp.asarray(0.0),
+              jnp.asarray(0.0), k_scan)
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    stT, gmT, pathT, plenT, ml_acc, ent_acc, _ = carry
+    stT, gmT, pathT, plenT, _, ml_acc, ent_acc, _ = carry
     logits_seq, actions = ys
 
     ml_loss = jnp.asarray(0.0)

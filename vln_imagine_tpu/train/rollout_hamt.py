@@ -47,6 +47,7 @@ class RolloutResult(NamedTuple):
     logits: jnp.ndarray          # [T, B, T_obs]
     actions: jnp.ndarray         # [T, B]
     entropy_sum: jnp.ndarray     # scalar (log metric)
+    midstop: jnp.ndarray = None  # [B] i32 declared midstop (r2r_back; -1 none)
 
 
 def _select_action(logits, valid, teacher, feedback: str, rng):
@@ -88,6 +89,11 @@ def rollout_hamt(
     T = ecfg.max_action_len
     K = tables.max_candidates
     ignore = tcfg.ignoreid
+    # r2r_back (Seq2SeqBackAgent, agent_r2rback.py:100-276): the first stop
+    # records the midstop and the episode continues; the second stop ends it.
+    # Reward distances target the midstop until the first stop, then the
+    # return destination (the 2-tuple 'distance' in R2RBackBatch._get_obs).
+    two_phase = cfg.dataset == "r2r_back" and ep.midstop is not None
 
     def apply(method, *args, rngs_key=None, **kw):
         rngs = {"dropout": rngs_key} if rngs_key is not None else None
@@ -130,7 +136,8 @@ def rollout_hamt(
         return obs, out
 
     def step_fn(carry, t):
-        st, h_buf, h_len, dtw_row, last_dist, last_ndtw, ml_acc, ent_acc, key = carry
+        (st, h_buf, h_len, dtw_row, last_dist, last_ndtw, first_ended,
+         midstop_pred, ml_acc, ent_acc, key) = carry
         key, k_vis, k_act, k_hist = jax.random.split(key, 4)
 
         obs, out = visual_forward(st, h_buf, h_len, k_vis)
@@ -148,9 +155,14 @@ def rollout_hamt(
             feedback, k_act)
         ent_acc = ent_acc + jnp.sum(jnp.where(st.ended, 0.0, entropy))
 
-        # stop when the model picks the STOP slot / teacher says ignore
-        is_stop = (a_t == obs.stop_slot) | (a_t == ignore) | st.ended
+        # stop selected this step / teacher says ignore
+        stop_sel = ((a_t == obs.stop_slot) | (a_t == ignore)) & ~st.ended
+        is_stop = stop_sel | st.ended
         a_env = jnp.where(is_stop, K, a_t).astype(jnp.int32)
+
+        if two_phase:
+            midstop_pred = jnp.where(stop_sel & ~first_ended, st.node,
+                                     midstop_pred)
 
         # history token for time t (appended before the env transition)
         hist_img, pano_img, pano_ang, prev_ang = envx.history_inputs(
@@ -167,12 +179,21 @@ def rollout_hamt(
 
         ended_pre = st.ended
         st2 = envx.step_hamt(tables, ep, st, a_env)
+        if two_phase:
+            # first stop records the midstop but keeps going (:275-276)
+            ended_new = ended_pre | (stop_sel & first_ended)
+            st2 = st2.replace(ended=ended_new)
         moved = ~is_stop & ~ended_pre
 
-        # reward shaping on the updated pose (agent_cmt.py:615-653)
+        # reward shaping on the updated pose (agent_cmt.py:615-653);
+        # r2r_back targets the midstop first, then the return destination
+        if two_phase:
+            phase_goal = jnp.where(first_ended, ep.goal, ep.midstop)
+            dist = tables.dist[ep.scan, st2.node, phase_goal]
+        else:
+            dist = envx.distance_to_goal(tables, ep, st2.node)
         new_row = envx.dtw_push(tables, ep, dtw_row, st2.node)
         dtw_row = jnp.where(moved[:, None], new_row, dtw_row)
-        dist = envx.distance_to_goal(tables, ep, st2.node)
         ndtw = envx.dtw_ndtw(dtw_row, ep, ecfg.error_margin)
         stop_rew = jnp.where(dist < 3.0, 2.0 + ndtw * 2.0, -2.0)
         delta = -(dist - last_dist)
@@ -185,19 +206,28 @@ def rollout_hamt(
         reward = jnp.where(ended_pre, 0.0,
                            jnp.where(is_stop, stop_rew, move_rew))
         mask = jnp.where(ended_pre, 0.0, 1.0)
-        last_dist = jnp.where(moved, dist, last_dist)
+        if two_phase and train_rl:
+            # failing to reach the midstop ends the episode (:252)
+            st2 = st2.replace(ended=st2.ended
+                              | (stop_sel & ~first_ended & (dist >= 3.0)))
+        first_ended = first_ended | stop_sel
+        last_dist = jnp.where(ended_pre, last_dist, dist)
         last_ndtw = jnp.where(moved, ndtw, last_ndtw)
 
         carry = (st2, h_buf, h_len, dtw_row, last_dist, last_ndtw,
-                 ml_acc, ent_acc, key)
+                 first_ended, midstop_pred, ml_acc, ent_acc, key)
         ys = (out.act_logits, a_t, logp_a, entropy, out.state, reward, mask)
         return carry, ys
 
     rng, k_scan = jax.random.split(rng)
+    if two_phase:
+        last_dist0 = tables.dist[ep.scan, state0.node, ep.midstop]
     carry0 = (state0, hist_buf, hist_len, dtw_row0, last_dist0, last_ndtw0,
+              jnp.zeros((B,), bool), jnp.full((B,), -1, jnp.int32),
               jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    (stateT, hist_bufT, hist_lenT, _, _, _, ml_acc, ent_acc, _) = carry
+    (stateT, hist_bufT, hist_lenT, _, _, _, _, midstop_pred, ml_acc,
+     ent_acc, _) = carry
     logits_seq, actions, logps, entropys, states, rewards, masks = ys
 
     ml_loss = jnp.asarray(0.0)
@@ -245,7 +275,8 @@ def rollout_hamt(
     return RolloutResult(
         loss=loss, ml_loss=ml_loss, rl_loss=rl_loss, aux_loss=aux_loss,
         path_nodes=stateT.path_nodes, path_len=stateT.path_len,
-        logits=logits_seq, actions=actions, entropy_sum=ent_acc)
+        logits=logits_seq, actions=actions, entropy_sum=ent_acc,
+        midstop=midstop_pred)
 
 
 def make_eval_fn(model, critic, tables, cfg):
