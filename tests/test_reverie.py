@@ -1,0 +1,81 @@
+"""REVERIE/SOON object-grounding path through the DUET rollout."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_imagine_tpu.config import tiny_test_config, _replace
+from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+from vln_imagine_tpu.envx import env as envx
+from vln_imagine_tpu.train.rollout_duet import rollout_duet
+from vln_imagine_tpu.train.trainer_duet import DuetTrainer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _replace(tiny_test_config("duet"), "model", obj_feat_size=32)
+    cfg = dataclasses.replace(cfg, dataset="reverie")
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=16, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=5,
+        max_objects=3, obj_feat_dim=32)
+    ep_np = synthetic_episodes(
+        world_np, batch=3, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=6)
+    world = jax.tree.map(jnp.asarray, world_np)
+    ep = jax.tree.map(jnp.asarray, ep_np)
+    return cfg, world_np, world, ep
+
+
+def test_observation_includes_object_tokens(setup):
+    cfg, world_np, world, ep = setup
+    state = envx.reset(world, ep, cfg.env.max_action_len)
+    obs = envx.observe_duet(world, ep, state, cfg.model.angle_feat_size)
+    K, V, Ko = world.max_candidates, world.views, world.max_objects
+    assert obs.img.shape[1] == K + V + Ko
+    nav = np.asarray(obs.nav_types)
+    valid = np.asarray(obs.valid)
+    # object slots have nav type 2 where valid
+    obj_nav = nav[:, K + V:]
+    obj_valid = np.asarray(obs.obj_valid)
+    np.testing.assert_array_equal(obj_nav == 2, obj_valid)
+    assert (valid[:, K + V:] == obj_valid).all()
+    # object token count matches the world annotation at the start node
+    for b in range(ep.batch):
+        want = np.asarray(world_np.obj_valid)[
+            np.asarray(ep.scan)[b], np.asarray(ep.start_node)[b]].sum()
+        assert obj_valid[b].sum() == want
+
+
+def test_reverie_rollout_grounds_objects(setup):
+    cfg, world_np, world, ep = setup
+    trainer = DuetTrainer(cfg, world)
+    state = trainer.init_state(ep)
+    res = rollout_duet(trainer.model, state.params, world, ep, cfg,
+                       jax.random.PRNGKey(0), feedback="teacher",
+                       train_ml=1.0, deterministic=True)
+    assert res.og_loss is not None and np.isfinite(float(res.og_loss))
+    assert float(res.og_loss) > 0  # gt objects visible along teacher paths
+    pred = np.asarray(res.pred_obj)
+    # every episode ends and declares some visible object id
+    obj_ids = np.asarray(world_np.obj_ids)
+    for b in range(ep.batch):
+        assert pred[b] >= -1
+        if pred[b] >= 0:
+            assert pred[b] in obj_ids  # a real object id from the world
+
+
+def test_reverie_train_step(setup):
+    cfg, _, world, ep = setup
+    trainer = DuetTrainer(cfg, world)
+    state = trainer.init_state(ep)
+    step = trainer.make_train_step()
+    state2, metrics = step(state, ep, ep, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0

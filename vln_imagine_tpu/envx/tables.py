@@ -38,6 +38,15 @@ class WorldTables:
     next_hop: jnp.ndarray      # [S, N, N] i32 next node on shortest path
     hops: jnp.ndarray          # [S, N, N] i32 number of edges on shortest path
     feat: Optional[jnp.ndarray] = None  # [S, N, V, Df] f32 view features
+    # REVERIE/SOON object annotations (None for object-free tasks)
+    obj_feat: Optional[jnp.ndarray] = None   # [S, N, Ko, Do] f32
+    obj_ang: Optional[jnp.ndarray] = None    # [S, N, Ko, 2] heading/elev
+    obj_valid: Optional[jnp.ndarray] = None  # [S, N, Ko] bool
+    obj_ids: Optional[jnp.ndarray] = None    # [S, N, Ko] i32 dataset obj id
+
+    @property
+    def max_objects(self) -> int:
+        return 0 if self.obj_feat is None else self.obj_feat.shape[2]
 
     @property
     def num_scans(self) -> int:
@@ -74,6 +83,7 @@ class EpisodeBatch:
     #  the contrastive aux loss, replacing the python double loop in
     #  vilmodel_cmt.py:750-790)
     midstop: Optional[jnp.ndarray] = None  # [B] i32 r2r_back turn-around node
+    gt_obj_id: Optional[jnp.ndarray] = None  # [B] i32 REVERIE/SOON target obj
 
     @property
     def batch(self) -> int:

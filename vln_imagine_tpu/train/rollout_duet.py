@@ -42,6 +42,8 @@ class DuetRolloutResult(NamedTuple):
     logits: jnp.ndarray      # [T, B, G+1]
     actions: jnp.ndarray     # [T, B]
     entropy_sum: jnp.ndarray
+    og_loss: jnp.ndarray = None   # scalar object-grounding CE (REVERIE/SOON)
+    pred_obj: jnp.ndarray = None  # [B] predicted object id at the stop node
 
 
 def path_buffer_len(cfg: Config) -> int:
@@ -124,6 +126,9 @@ def rollout_duet(
     goal = ep.goal
     dist_full = tables.dist  # [S, N, N]
     expert_policy = cfg.train.expert_policy
+    use_obj = (mcfg.obj_feat_size > 0 and tables.obj_feat is not None
+               and ep.gt_obj_id is not None)
+    Ko = tables.max_objects if use_obj else 0
 
     def _dtw_extend(row, hop_nodes, hop_valid):
         """Fold a sequence of appended path nodes into the DTW row."""
@@ -133,7 +138,8 @@ def rollout_duet(
         return jax.lax.fori_loop(0, hop_nodes.shape[1], body, row)
 
     def step_fn(carry, t):
-        st, gm, path, plen, dtw_row, ml_acc, ent_acc, key = carry
+        (st, gm, path, plen, dtw_row, node_obj, pred_obj, ml_acc, og_acc,
+         ent_acc, key) = carry
         key, k_pano, k_nav, k_act = jax.random.split(key, 4)
         active = ~st.ended
 
@@ -206,13 +212,40 @@ def rollout_duet(
         cand_to_gmap = jnp.zeros((B, Gcap + 1, Tp + 1), bool)
         cand_to_gmap = cand_to_gmap.at[:, 1:, 1:K + 1].set(c2g)
 
+        vp_obj_valid = None
+        if use_obj:
+            vp_obj_valid = jnp.concatenate(
+                [jnp.zeros((B, 1), bool), obs.nav_types == 2], axis=1)
         out = apply(DuetModel.navigation_per_step,
                     txt_embeds, ep.txt_mask,
                     gmap_img, gmap_step_ids, gmap_pos, gmap_valid,
                     gmap_pair, gmap_visited,
                     vp_img, vp_pos, vp_valid, vp_nav_valid, cand_to_gmap,
                     imagine_embeds=imagine_embeds,
-                    imagine_mask=ep.imagine_mask, rngs_key=k_nav)
+                    imagine_mask=ep.imagine_mask,
+                    vp_obj_valid=vp_obj_valid, rngs_key=k_nav)
+
+        if use_obj:
+            # object grounding: per-step prediction at the current node and
+            # CE against the gt object when visible (reverie agent
+            # `_teacher_object` + og logits)
+            obj_tok0 = 1 + K + tables.views  # first object token in vp seq
+            obj_lg = out.obj_logits[:, obj_tok0: obj_tok0 + Ko]
+            best_k = jnp.argmax(obj_lg, axis=1)
+            best_id = jnp.take_along_axis(obs.obj_ids, best_k[:, None],
+                                          1)[:, 0]
+            store = jnp.where(active, cur_slot, gm.trash)
+            node_obj = node_obj.at[b_idx, store].set(
+                jnp.where(store == gm.trash, node_obj[:, -1], best_id))
+            gt_match = (obs.obj_ids == ep.gt_obj_id[:, None]) & obs.obj_valid
+            has_gt = jnp.any(gt_match, axis=1)
+            gt_k = jnp.argmax(gt_match, axis=1)
+            og_logp = jax.nn.log_softmax(
+                jnp.where(obs.obj_valid, obj_lg, LOGIT_NEG_INF
+                          ).astype(jnp.float32), -1)
+            og_ce = -jnp.take_along_axis(og_logp, gt_k[:, None], 1)[:, 0]
+            og_acc = og_acc + jnp.sum(
+                jnp.where(active & has_gt, og_ce, 0.0))
 
         if mcfg.fusion == "local":
             nav_logits = out.local_logits
@@ -353,6 +386,16 @@ def rollout_duet(
         back_valid = back_valid & do_back[:, None]
         path, plen = _append_path(path, plen, back_nodes, back_valid)
         dtw_row = _dtw_extend(dtw_row, back_nodes, back_valid)
+        if use_obj:
+            stop_slot_final = jnp.where(has_score & just_ended,
+                                        best_stop_slot,
+                                        jnp.take_along_axis(
+                                            gm.slot_of, st.node[:, None],
+                                            1)[:, 0])
+            stop_slot_final = jnp.clip(stop_slot_final, 0, gm.trash)
+            chosen = jnp.take_along_axis(node_obj, stop_slot_final[:, None],
+                                         1)[:, 0]
+            pred_obj = jnp.where(just_ended, chosen, pred_obj)
 
         st2 = st.replace(node=new_node, view_index=new_view,
                          ended=st.ended | stop_now, step=st.step + 1)
@@ -368,27 +411,35 @@ def rollout_duet(
                          obs2.cand_valid & active2[:, None])
         gm = G.relax(gm, st2.node, active2)
 
-        carry = (st2, gm, path, plen, dtw_row, ml_acc, ent_acc, key)
+        carry = (st2, gm, path, plen, dtw_row, node_obj, pred_obj, ml_acc,
+                 og_acc, ent_acc, key)
         return carry, (nav_logits, a_t)
 
     rng, k_scan = jax.random.split(rng)
-    carry0 = (state0, gm, path0, plen0, dtw_row0, jnp.asarray(0.0),
-              jnp.asarray(0.0), k_scan)
+    node_obj0 = jnp.full((B, Gcap + 1), -1, jnp.int32)
+    pred_obj0 = jnp.full((B,), -1, jnp.int32)
+    carry0 = (state0, gm, path0, plen0, dtw_row0, node_obj0, pred_obj0,
+              jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    stT, gmT, pathT, plenT, _, ml_acc, ent_acc, _ = carry
+    (stT, gmT, pathT, plenT, _, _, pred_objT, ml_acc, og_acc, ent_acc,
+     _) = carry
     logits_seq, actions = ys
 
     ml_loss = jnp.asarray(0.0)
+    og_loss = jnp.asarray(0.0)
     loss = mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss \
         else jnp.asarray(0.0)
     if train_ml is not None:
         ml_loss = ml_acc * train_ml / B
         loss = loss + ml_loss
+        if use_obj:
+            og_loss = og_acc * train_ml / B
+            loss = loss + og_loss
 
     return DuetRolloutResult(
         loss=loss, ml_loss=ml_loss, aux_loss=aux_loss,
         path_nodes=pathT, path_len=plenT, logits=logits_seq, actions=actions,
-        entropy_sum=ent_acc)
+        entropy_sum=ent_acc, og_loss=og_loss, pred_obj=pred_objT)
 
 
 def _edge_weights(tables, ep, src_node, dst_nodes):

@@ -141,7 +141,10 @@ def rollout_hamt(
         key, k_vis, k_act, k_hist = jax.random.split(key, 4)
 
         obs, out = visual_forward(st, h_buf, h_len, k_vis)
-        teacher = envx.teacher_hamt(tables, ep, st, t, ignore)
+        # CVDN/NDH supervises with the shortest path to the sampled goal
+        # (cvdn env stores endpoints only); others follow the annotated path
+        teacher = envx.teacher_hamt(tables, ep, st, t, ignore,
+                                    shortest_teacher=(cfg.dataset == "cvdn"))
 
         # IL: summed CE with ignore index (agent_cmt.py:105,547)
         if train_ml is not None:

@@ -156,7 +156,9 @@ def _init_duet_params(model: DuetModel, cfg: Config, tables: WorldTables,
             jnp.ones((B, Tp + 1), bool),
             jnp.ones((B, Tp + 1), bool),
             jnp.zeros((B, Gcap + 1, Tp + 1), bool),
-            imagine_embeds=imagine, imagine_mask=ep1.imagine_mask)
+            imagine_embeds=imagine, imagine_mask=ep1.imagine_mask,
+            vp_obj_valid=(jnp.zeros((B, Tp + 1), bool)
+                          if mcfg.obj_feat_size > 0 else None))
         return None
 
     del G
