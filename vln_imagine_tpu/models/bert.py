@@ -223,36 +223,54 @@ class BertEmbeddings(nn.Module):
 
 class LXRTXLayer(nn.Module):
     """HAMT bidirectional cross-modal layer (vilmodel_cmt.py:366-445):
-    shared cross-attn applied both ways, then per-stream self-attn + FFN."""
+    shared cross-attn applied both ways, then per-stream self-attn + FFN.
+    Setup-based so the no_lang_ca language branch can be invoked standalone
+    (vilmodel_cmt.py:1024-1028)."""
 
     config: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.config
+        self.visual_attention = BertXAttention(cfg)
+        self.lang_self_att = BertAttention(cfg)
+        self.lang_inter = BertIntermediate(cfg)
+        self.lang_output = BertOutput(cfg)
+        self.visn_self_att = BertAttention(cfg)
+        self.visn_inter = BertIntermediate(cfg)
+        self.visn_output = BertOutput(cfg)
+
     def __call__(self, lang, lang_mask, visn, visn_mask, deterministic=True):
         cfg = self.config
-        xatt = BertXAttention(cfg, name="visual_attention")
         if cfg.no_lang_ca:
             lang_x = lang
         else:
-            lang_x = xatt(lang, visn, visn_mask, deterministic)
-        visn_x = xatt(visn, lang, lang_mask, deterministic)
+            lang_x = self.visual_attention(lang, visn, visn_mask,
+                                           deterministic)
+        visn_x = self.visual_attention(visn, lang, lang_mask, deterministic)
 
         if not cfg.no_lang_ca:
-            lang_s = BertAttention(cfg, name="lang_self_att")(
-                lang_x, lang_mask, deterministic=deterministic)
+            lang_s = self.lang_self_att(lang_x, lang_mask,
+                                        deterministic=deterministic)
         else:
             lang_s = lang_x
-        visn_s = BertAttention(cfg, name="visn_self_att")(
-            visn_x, visn_mask, deterministic=deterministic)
+        visn_s = self.visn_self_att(visn_x, visn_mask,
+                                    deterministic=deterministic)
 
         if not cfg.no_lang_ca:
-            lang_i = BertIntermediate(cfg, name="lang_inter")(lang_s)
-            lang_o = BertOutput(cfg, name="lang_output")(lang_i, lang_s, deterministic)
+            lang_i = self.lang_inter(lang_s)
+            lang_o = self.lang_output(lang_i, lang_s, deterministic)
         else:
             lang_o = lang_s
-        visn_i = BertIntermediate(cfg, name="visn_inter")(visn_s)
-        visn_o = BertOutput(cfg, name="visn_output")(visn_i, visn_s, deterministic)
+        visn_i = self.visn_inter(visn_s)
+        visn_o = self.visn_output(visn_i, visn_s, deterministic)
         return lang_o, visn_o
+
+    def lang_self_att_branch(self, lang, lang_mask, deterministic=True):
+        """Standalone language self-att + FFN (used only under no_lang_ca,
+        vilmodel_cmt.py:1024-1028)."""
+        s = self.lang_self_att(lang, lang_mask, deterministic=deterministic)
+        i = self.lang_inter(s)
+        return self.lang_output(i, s, deterministic)
 
 
 class GraphLXRTXLayer(nn.Module):

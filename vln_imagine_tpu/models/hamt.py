@@ -250,6 +250,16 @@ class HamtModel(nn.Module):
             x = layer(x, ext, deterministic=deterministic)
         if cfg.fix_lang_embedding:
             x = jax.lax.stop_gradient(x)
+        if cfg.no_lang_ca:
+            # language is static during cross-modal encoding: precompute each
+            # x-layer's lang self-att branch over the BASE text embedding
+            # (vilmodel_cmt.py:1022-1029 — the reference intentionally does
+            # not chain them) and return [1+X, B, L, H]
+            outs = [x]
+            for layer in self.x_layers:
+                s = layer.lang_self_att_branch(x, ext, deterministic)
+                outs.append(s)
+            return jnp.stack(outs, axis=0)
         return x
 
     def history_initial(self, batch_size: int, deterministic=True):
@@ -322,6 +332,13 @@ class HamtModel(nn.Module):
         """Per-step cross-modal encoding + action logits
         (vilmodel_cmt.py:1056-1205)."""
         cfg = self.config
+        no_ca = cfg.no_lang_ca
+        if no_ca:
+            assert not (cfg.imagine_enc_pano
+                        and cfg.concat_imagine_with == "language"), \
+                "no_lang_ca + language-concat imagination is unsupported " \
+                "(the reference path is inconsistent for this combo)"
+            txt_stack, txt_embeds = txt_embeds, txt_embeds[0]
         ext_txt = extend_neg_mask(txt_mask)
         ext_hist = extend_neg_mask(hist_mask)
         ext_ob = extend_neg_mask(ob_valid)
@@ -351,7 +368,9 @@ class HamtModel(nn.Module):
         else:
             lang, lang_mask = txt_embeds, ext_txt
 
-        for layer in self.x_layers:
+        for li, layer in enumerate(self.x_layers):
+            if no_ca:
+                lang = txt_stack[li]  # per-layer static text (:1119-1121)
             lang, visn = layer(lang, lang_mask, visn, visn_mask,
                                deterministic=deterministic)
 
@@ -363,7 +382,9 @@ class HamtModel(nn.Module):
             cfg.imagine_enc_pano and cfg.concat_imagine_with == "language"
         ) else (imagine_embeds if imagine_embeds is not None else None)
 
-        if cfg.act_pred_token == "ob_txt":
+        if no_ca:
+            head_in = ob_out  # (:1187-1188)
+        elif cfg.act_pred_token == "ob_txt":
             head_in = ob_out * txt_out[:, :1]
         elif cfg.act_pred_token == "ob":
             head_in = ob_out
@@ -379,5 +400,7 @@ class HamtModel(nn.Module):
 
         logits = self.next_action(head_in, deterministic=deterministic)[..., 0]
         logits = mask_logits(logits, (ob_nav_types != 0) & ob_valid)
-        state = txt_out[:, 0] * hist_out[:, 0]  # model_HAMT.py:86
+        # critic state: txt[CLS] * hist[CLS], or hist[CLS] under no_lang_ca
+        # (model_HAMT.py:83-86)
+        state = hist_out[:, 0] if no_ca else txt_out[:, 0] * hist_out[:, 0]
         return VisualOut(logits, txt_out, hist_out, ob_out, state)

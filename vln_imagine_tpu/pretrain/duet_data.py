@@ -47,7 +47,16 @@ class DuetTrajectoryBatcher:
         self.paths = [np.asarray(ep.gt_path[b, :ep.gt_len[b]])
                       for b in range(ep.batch)]
         self.scans = np.asarray(ep.scan)
-        self.Tp = self.K + self.views
+        self.has_obj = world.obj_feat is not None
+        self.Ko = world.max_objects if self.has_obj else 0
+        if self.has_obj:
+            self.w["obj_feat"] = np.asarray(world.obj_feat)
+            self.w["obj_ang"] = np.asarray(world.obj_ang)
+            self.w["obj_valid"] = np.asarray(world.obj_valid)
+            self.w["obj_ids"] = np.asarray(world.obj_ids)
+            self.gt_obj = (np.asarray(ep.gt_obj_id)
+                           if ep.gt_obj_id is not None else None)
+        self.Tp = self.K + self.views + self.Ko
 
     def _pano(self, scan, node, cur_view):
         """DUET pano token bank at one node ([K cands | V views])."""
@@ -73,11 +82,25 @@ class DuetTrajectoryBatcher:
             nav[k] = 1
             valid[k] = True
         used = set(int(p) for p, v in zip(pid, adj_valid) if v)
-        img[K:] = feat
-        loc[K:, :A] = self.angle_table[cur_view]
-        loc[K:, A:] = 1.0
+        img[K:K + V] = feat
+        loc[K:K + V, :A] = self.angle_table[cur_view]
+        loc[K:K + V, A:] = 1.0
         for v in range(V):
             valid[K + v] = v not in used
+        if self.has_obj and self.Ko:
+            o_valid = self.w["obj_valid"][scan, node]
+            o_feat = self.w["obj_feat"][scan, node]
+            Do = min(o_feat.shape[-1], self.Df)
+            img[K + V:, :Do] = o_feat[:, :Do] * o_valid[:, None]
+            oa = self.w["obj_ang"][scan, node]
+            dh = oa[:, 0] - base_h
+            loc[K + V:, :A] = np.stack(
+                [np.sin(dh), np.cos(dh), np.sin(oa[:, 1]),
+                 np.cos(oa[:, 1])], -1).repeat(A // 4, axis=-1
+                ).reshape(self.Ko, A) * o_valid[:, None]
+            loc[K + V:, A:] = o_valid[:, None].astype(np.float32)
+            nav[K + V:] = 2 * o_valid
+            valid[K + V:] = o_valid
         return img, loc, nav, valid
 
     def _rel_pos(self, scan, src, heading, targets):
@@ -121,6 +144,8 @@ class DuetTrajectoryBatcher:
             "local_act_labels": np.zeros((B,), np.int64),
             "vp_view_mrc_masks": np.zeros((B, Tp), bool),
             "vp_view_probs": np.zeros((B, Tp, self.P), np.float32),
+            "vp_obj_valid": np.zeros((B, Tp + 1), bool),
+            "obj_labels": np.full((B,), -100, np.int64),
         }
         out["gmap_valid"][:, 0] = True
 
@@ -227,6 +252,17 @@ class DuetTrajectoryBatcher:
                 slot = int(np.flatnonzero((adj == nxt) & adj_valid)[0])
                 out["local_act_labels"][i] = slot + 1
 
+            # OG labels (REVERIE/SOON pretrain, tasks.py:364-437): the gt
+            # object's token index at the last node, stop-offset included
+            if self.has_obj and self.Ko and self.gt_obj is not None:
+                o_valid = self.w["obj_valid"][scan, last]
+                o_ids = self.w["obj_ids"][scan, last]
+                out["vp_obj_valid"][i, 1 + K + V:] = o_valid
+                hits = np.flatnonzero(o_valid
+                                      & (o_ids == self.gt_obj[b]))
+                if len(hits):
+                    out["obj_labels"][i] = 1 + K + V + hits[0]
+
             # MRC: mask last-step view tokens (tasks.py:159-228)
             lv = out["traj_valid"][i, -1]
             m = (self.rng.random(Tp) < 0.15) & lv
@@ -262,6 +298,6 @@ class DuetTrajectoryBatcher:
         idxs = self.rng.integers(0, self.ep.batch, batch_size)
         if task == "mlm":
             return self.mlm_batch(idxs)
-        if task in ("mrc", "sap"):
+        if task in ("mrc", "sap", "og"):
             return self.base_batch(idxs)
         raise ValueError(task)

@@ -73,6 +73,8 @@ class DuetPretrainModel(nn.Module):
             if cfg.glocal_fuse:
                 self.sap_fuse_linear = ClsPrediction(
                     cfg, input_size=2 * cfg.hidden_size)
+        if "og" in self.tasks:
+            self.og_head = ClsPrediction(cfg)
 
     # ----------------------------------------------------------- backbone
     def _text(self, txt_ids, txt_masks, deterministic):
@@ -226,3 +228,30 @@ class DuetPretrainModel(nn.Module):
         B = txt_ids.shape[0]
         correct = jnp.sum(jnp.argmax(fused, -1) == global_act_labels)
         return jnp.sum(losses), B, correct
+
+    def forward_og(self, txt_ids, txt_masks,
+                   traj_img, traj_loc, traj_nav, traj_valid, agg,
+                   gmap_step_ids, gmap_pos_fts, gmap_valid, gmap_pair_dists,
+                   vp_pos_fts, vp_valid, vp_obj_valid, obj_labels,
+                   deterministic=True):
+        """Object grounding CE on last-step object tokens
+        (pretrain_cmt.py:288-320 forward_og); labels -100 = no visible gt."""
+        import jax
+        import jax.numpy as jnp
+        from vln_imagine_tpu.ops.masks import mask_logits
+
+        txt = self._text(txt_ids, txt_masks, deterministic)
+        traj = self._traj_pano(traj_img, traj_loc, traj_nav, traj_valid,
+                               deterministic)
+        _, vp_embeds = self._encode_both(
+            txt_masks, txt, traj, agg, gmap_step_ids, gmap_pos_fts,
+            gmap_valid, gmap_pair_dists, vp_pos_fts, vp_valid, deterministic)
+        logits = self.og_head(vp_embeds)[..., 0]
+        logits = mask_logits(logits, vp_obj_valid)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        has = obj_labels >= 0
+        tgt = jnp.clip(obj_labels, 0, logits.shape[1] - 1)
+        ce = -jnp.take_along_axis(logp, tgt[:, None], 1)[:, 0]
+        n = jnp.sum(has)
+        correct = jnp.sum((jnp.argmax(logits, -1) == tgt) & has)
+        return jnp.sum(ce * has), n, correct

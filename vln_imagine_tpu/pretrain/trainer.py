@@ -71,6 +71,10 @@ DUET_TASK_ARGS = {
             "gmap_valid", "gmap_pair_dists", "gmap_visited", "vp_pos_fts",
             "vp_valid", "vp_nav_valid", "cand_to_gmap", "global_act_labels",
             "local_act_labels"),
+    "og": ("txt_ids", "txt_masks", "traj_img", "traj_loc", "traj_nav",
+           "traj_valid", "agg", "gmap_step_ids", "gmap_pos_fts",
+           "gmap_valid", "gmap_pair_dists", "vp_pos_fts", "vp_valid",
+           "vp_obj_valid", "obj_labels"),
 }
 
 
