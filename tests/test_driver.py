@@ -1,0 +1,68 @@
+"""Fine-tune driver loop: intervals, validation, checkpointing, recovery."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vln_imagine_tpu.config import tiny_test_config
+from vln_imagine_tpu.driver import FinetuneDriver, SplitData
+from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+
+
+@pytest.fixture(scope="module")
+def driver(tmp_path_factory):
+    cfg = tiny_test_config("hamt")
+    world_np, _ = synthetic_world(
+        num_scans=2, num_nodes=18, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
+    tables = jax.tree.map(jnp.asarray, world_np)
+
+    def split(name, n, seed):
+        ep = synthetic_episodes(
+            world_np, batch=n, max_gt_path_len=cfg.env.max_gt_path_len,
+            max_instr_len=cfg.env.max_instr_len,
+            max_imaginations=cfg.model.max_imagination_len,
+            vocab_size=cfg.model.vocab_size,
+            feat_dim=cfg.model.hidden_size, seed=seed)
+        return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
+
+    log_dir = str(tmp_path_factory.mktemp("run"))
+    d = FinetuneDriver(cfg, tables, split("train", 12, 1),
+                       [split("val_unseen", 6, 2)], log_dir)
+    d.setup()
+    return d
+
+
+def test_run_produces_checkpoints_and_logs(driver):
+    driver.run(iters=4, log_every=2)
+    assert os.path.exists(os.path.join(driver.log_dir, "train.txt"))
+    assert os.path.exists(os.path.join(driver.log_dir, "metrics.jsonl"))
+    assert os.path.isdir(os.path.join(driver.log_dir, "ckpts", "latest_dict"))
+    assert os.path.isdir(os.path.join(driver.log_dir, "ckpts",
+                                      "best_val_unseen"))
+
+
+def test_validation_covers_every_item_once(driver):
+    score = driver.validate(driver.val_splits[0])
+    assert set(score) >= {"sr", "spl", "nDTW"}
+
+
+def test_failure_recovery_rolls_back(driver, monkeypatch):
+    calls = {"n": 0}
+    orig = driver.train_interval
+
+    def flaky(n_iters):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected fault")
+        return orig(n_iters)
+
+    monkeypatch.setattr(driver, "train_interval", flaky)
+    driver.run(iters=4, log_every=2, max_failures=2)
+    assert calls["n"] >= 2  # retried after the injected fault
+    with open(os.path.join(driver.log_dir, "train.txt")) as f:
+        log = f.read()
+    assert "injected fault" in log

@@ -130,17 +130,42 @@ class FinetuneDriver:
         return avg
 
     # ------------------------------------------------------------------ loop
-    def run(self, iters: int | None = None, log_every: int | None = None):
+    def run(self, iters: int | None = None, log_every: int | None = None,
+            max_failures: int = 3):
+        """Training loop.  The reference has no failure handling (recovery is
+        manual via --resume_file, SURVEY §5); here transient interval
+        failures roll back to the latest checkpoint up to `max_failures`
+        times before re-raising."""
         cfg = self.cfg
         iters = iters or cfg.train.iters
         log_every = log_every or cfg.train.log_every
         if self.state is None:
             self.setup()
         start = time.time()
+        failures = 0
         for idx in range(0, iters, log_every):
             interval = min(log_every, iters - idx)
             it = idx + interval
-            train_metrics = self.train_interval(interval)
+            try:
+                train_metrics = self.train_interval(interval)
+                failures = 0
+            except Exception as e:  # noqa: BLE001 - deliberate recovery scope
+                failures += 1
+                write_to_record_file(
+                    f"[failure {failures}/{max_failures}] interval at iter "
+                    f"{idx} failed: {type(e).__name__}: {e}",
+                    self.record_file, verbose=True)
+                if failures > max_failures:
+                    raise
+                try:
+                    self.state = self.ckpt.load("latest_dict", self.state)
+                    write_to_record_file("rolled back to latest_dict",
+                                         self.record_file, verbose=True)
+                except Exception:
+                    write_to_record_file(
+                        "no checkpoint to roll back to; continuing with the "
+                        "in-memory state", self.record_file, verbose=True)
+                continue
             self.writer.add_scalars(train_metrics, it, prefix="loss")
             loss_str = f"iter {it}"
             for split in self.val_splits:
