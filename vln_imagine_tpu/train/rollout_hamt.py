@@ -247,14 +247,16 @@ def rollout_hamt(
         last_value = jax.lax.stop_gradient(
             critic.apply(critic_params, last_out.state,
                          deterministic=deterministic, rngs=crngs))
-        discount0 = jnp.where(stateT.ended, 0.0, last_value)
+        discount0 = jnp.where(stateT.ended, 0.0,
+                              last_value.astype(jnp.float32))
 
         def a2c_step(disc, ys_t):
             logp_t, state_t, reward_t, mask_t = ys_t
             disc = disc * tcfg.gamma + reward_t
             v = critic.apply(critic_params, state_t,
                              deterministic=deterministic,
-                             rngs=None if deterministic else {"dropout": k_cs})
+                             rngs=None if deterministic else {"dropout": k_cs}
+                             ).astype(jnp.float32)
             adv = jax.lax.stop_gradient(disc - v)
             pol = jnp.sum(-logp_t * adv * mask_t)
             cri = jnp.sum(((disc - v) ** 2) * mask_t) * 0.5
