@@ -1,0 +1,61 @@
+"""Tokenizer access (get_tokenizer, vlnbert_init.py:4-11).
+
+bert-base-uncased for R2R-family tasks, xlm-roberta-base for RxR.  Works
+offline when the HuggingFace cache is pre-populated; in fully air-gapped
+environments (like CI here) a deterministic hash-vocab fallback keeps the
+pipeline runnable — real training should use the genuine vocab so released
+checkpoints' embeddings line up.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+
+def get_tokenizer(dataset: str = "r2r", tokenizer: str | None = None):
+    name = ("xlm-roberta-base" if dataset == "rxr" or tokenizer == "xlm"
+            else "bert-base-uncased")
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(name, local_files_only=True)
+    except Exception:
+        return HashTokenizer(name)
+
+
+class HashTokenizer:
+    """Deterministic offline stand-in with a BERT-compatible id layout:
+    0=[PAD], 1=[CLS], 2=[SEP], 3=[MASK]; words hash into the remaining vocab.
+    Suitable for synthetic pipelines and tests only."""
+
+    PAD, CLS, SEP, MASK = 0, 1, 2, 3
+
+    def __init__(self, name: str, vocab_size: int = 30522):
+        self.name_or_path = name
+        self.vocab_size = vocab_size
+        self.pad_token_id = self.PAD
+        self.cls_token_id = self.CLS
+        self.sep_token_id = self.SEP
+        self.mask_token_id = self.MASK
+
+    def tokenize(self, text: str) -> list[str]:
+        return re.findall(r"[a-z0-9']+|[^\sa-z0-9]", text.lower())
+
+    def _word_id(self, tok: str) -> int:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "little")
+        return 4 + h % (self.vocab_size - 4)
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        return [self._word_id(t) for t in tokens]
+
+    def encode(self, text: str, max_length: int | None = None) -> list[int]:
+        ids = [self.CLS] + self.convert_tokens_to_ids(self.tokenize(text)) \
+            + [self.SEP]
+        if max_length is not None:
+            ids = ids[: max_length - 1] + [self.SEP] if len(ids) > max_length \
+                else ids
+        return ids
+
+    def __call__(self, text: str, max_length: int | None = None, **kw):
+        return {"input_ids": self.encode(text, max_length)}
