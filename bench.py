@@ -22,6 +22,13 @@ ASSUMED_BASELINE_EPS_PER_SEC = 10.0
 
 
 def main():
+    # persistent compile cache: repeat bench runs skip the ~1 min XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/vln_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     from vln_imagine_tpu.config import hamt_r2r_config, _replace
     from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
     from vln_imagine_tpu.train.trainer import HamtTrainer

@@ -24,7 +24,7 @@ from vln_imagine_tpu.ckpt.manager import CheckpointManager
 from vln_imagine_tpu.config import Config
 from vln_imagine_tpu.data.annotations import EvalSampler, RoundRobinSampler
 from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
-from vln_imagine_tpu.eval.metrics import eval_batch, trajectories_from_rollout
+from vln_imagine_tpu.eval.metrics import eval_batch
 from vln_imagine_tpu.utils.logger import (
     MetricsWriter,
     dump_args,
@@ -100,9 +100,13 @@ class FinetuneDriver:
             ep2 = _take(self.train_split.episodes, i2)
             rng, self._rng = jax.random.split(self._rng)
             self.state, metrics = self._train_step(self.state, ep1, ep2, rng)
+            # keep metrics on-device during the interval: converting per step
+            # would synchronise with the device and serialise host batch
+            # assembly against the TPU (the reference's PrefetchLoader overlap,
+            # pretrain_src/data/loader.py:90-124, falls out of async dispatch)
             for k, v in metrics.items():
-                logs.setdefault(k, []).append(float(v))
-        return {k: float(np.mean(v)) for k, v in logs.items()}
+                logs.setdefault(k, []).append(v)
+        return {k: float(np.mean(jax.device_get(v))) for k, v in logs.items()}
 
     # ------------------------------------------------------------------ eval
     def validate(self, split: SplitData, batch_size: int | None = None

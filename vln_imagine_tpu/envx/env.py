@@ -21,7 +21,6 @@ the 36 panorama views (views already claimed by a candidate are masked out).
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional
 
 import jax

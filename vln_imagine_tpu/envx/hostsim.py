@@ -12,8 +12,6 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
-import numpy as np
-
 from vln_imagine_tpu.envx.compiler import ScanGraph, closest_view, heading_elevation
 
 RAD30 = math.radians(30.0)

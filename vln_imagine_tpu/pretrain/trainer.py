@@ -165,15 +165,17 @@ class BasePretrainer:
             args = tuple(jnp.asarray(batch[k]) for k in self.task_args[task])
             rng, self._rng = jax.random.split(self._rng)
             state, metrics = self._train_step(task)(state, rng, *args)
-            stats.setdefault(task, []).append(float(metrics["loss"]))
+            # defer device sync: next host batch builds while the TPU runs
+            stats.setdefault(task, []).append(metrics["loss"])
             examples += bsz
             if log_every and (i + 1) % log_every == 0:
                 ex_per_s = examples / (time.time() - t0)
-                means = {t: round(float(np.mean(v)), 4)
+                means = {t: round(float(np.mean(jax.device_get(v))), 4)
                          for t, v in stats.items()}
                 log_fn(f"step {int(state.step)}: {means}  "
                        f"({ex_per_s:.1f} ex/s)")
-        summary = {t: float(np.mean(v)) for t, v in stats.items()}
+        summary = {t: float(np.mean(jax.device_get(v)))
+                   for t, v in stats.items()}
         return state, summary
 
     def validate(self, state: PretrainState, batch_size: int = 8,

@@ -11,8 +11,7 @@ lives in the optimizer schedule (see train/optim.py).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, NamedTuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
