@@ -188,34 +188,39 @@ def rollout_hamt(
             st2 = st2.replace(ended=ended_new)
         moved = ~is_stop & ~ended_pre
 
-        # reward shaping on the updated pose (agent_cmt.py:615-653);
-        # r2r_back targets the midstop first, then the return destination
-        if two_phase:
-            phase_goal = jnp.where(first_ended, ep.goal, ep.midstop)
-            dist = tables.dist[ep.scan, st2.node, phase_goal]
+        if train_rl:
+            # reward shaping on the updated pose (agent_cmt.py:615-653);
+            # r2r_back targets the midstop first, then the return destination.
+            # Statically skipped for IL/eval rollouts — the DTW/distance work
+            # would otherwise stay live through the scan carry.
+            if two_phase:
+                phase_goal = jnp.where(first_ended, ep.goal, ep.midstop)
+                dist = tables.dist[ep.scan, st2.node, phase_goal]
+            else:
+                dist = envx.distance_to_goal(tables, ep, st2.node)
+            new_row = envx.dtw_push(tables, ep, dtw_row, st2.node)
+            dtw_row = jnp.where(moved[:, None], new_row, dtw_row)
+            ndtw = envx.dtw_ndtw(dtw_row, ep, ecfg.error_margin)
+            stop_rew = jnp.where(dist < 3.0, 2.0 + ndtw * 2.0, -2.0)
+            delta = -(dist - last_dist)
+            ndtw_rew = ndtw - last_ndtw
+            move_rew = jnp.where(delta > 0.0, 1.0 + ndtw_rew,
+                                 jnp.where(delta < 0.0, -1.0 + ndtw_rew, 0.0))
+            move_rew = move_rew - jnp.where(
+                (last_dist <= 1.0) & (dist - last_dist > 0.0),
+                (1.0 - last_dist) * 2.0, 0.0)
+            reward = jnp.where(ended_pre, 0.0,
+                               jnp.where(is_stop, stop_rew, move_rew))
+            if two_phase:
+                # failing to reach the midstop ends the episode (:252)
+                st2 = st2.replace(ended=st2.ended
+                                  | (stop_sel & ~first_ended & (dist >= 3.0)))
+            last_dist = jnp.where(ended_pre, last_dist, dist)
+            last_ndtw = jnp.where(moved, ndtw, last_ndtw)
         else:
-            dist = envx.distance_to_goal(tables, ep, st2.node)
-        new_row = envx.dtw_push(tables, ep, dtw_row, st2.node)
-        dtw_row = jnp.where(moved[:, None], new_row, dtw_row)
-        ndtw = envx.dtw_ndtw(dtw_row, ep, ecfg.error_margin)
-        stop_rew = jnp.where(dist < 3.0, 2.0 + ndtw * 2.0, -2.0)
-        delta = -(dist - last_dist)
-        ndtw_rew = ndtw - last_ndtw
-        move_rew = jnp.where(delta > 0.0, 1.0 + ndtw_rew,
-                             jnp.where(delta < 0.0, -1.0 + ndtw_rew, 0.0))
-        move_rew = move_rew - jnp.where(
-            (last_dist <= 1.0) & (dist - last_dist > 0.0),
-            (1.0 - last_dist) * 2.0, 0.0)
-        reward = jnp.where(ended_pre, 0.0,
-                           jnp.where(is_stop, stop_rew, move_rew))
+            reward = jnp.zeros((B,))
         mask = jnp.where(ended_pre, 0.0, 1.0)
-        if two_phase and train_rl:
-            # failing to reach the midstop ends the episode (:252)
-            st2 = st2.replace(ended=st2.ended
-                              | (stop_sel & ~first_ended & (dist >= 3.0)))
         first_ended = first_ended | stop_sel
-        last_dist = jnp.where(ended_pre, last_dist, dist)
-        last_ndtw = jnp.where(moved, ndtw, last_ndtw)
 
         carry = (st2, h_buf, h_len, dtw_row, last_dist, last_ndtw,
                  first_ended, midstop_pred, ml_acc, ent_acc, key)
