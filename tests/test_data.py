@@ -122,3 +122,15 @@ def test_imagination_scatter_matches_flags():
     np.testing.assert_allclose(feats[0, 0], [0, 1, 2])
     np.testing.assert_allclose(feats[0, 2], [3, 4, 5])
     assert not mask[1].any()
+
+
+def test_reverie_np_weights_uniform_over_tokens():
+    from vln_imagine_tpu.data.annotations import reverie_np_weights
+
+    mask = np.array([[True, True, True, False],
+                     [True, False, False, False]])
+    w = reverie_np_weights(mask, max_imaginations=3)
+    assert w.shape == (2, 3, 4)
+    np.testing.assert_allclose(w[0, 0], [1 / 3, 1 / 3, 1 / 3, 0])
+    np.testing.assert_allclose(w[1, 0], [1, 0, 0, 0])
+    assert (w[:, 1:] == 0).all()

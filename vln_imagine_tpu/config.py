@@ -211,6 +211,25 @@ def duet_r2r_config() -> Config:
     return cfg
 
 
+def rxr_config() -> Config:
+    """RxR multilingual preset (HAMT stack, xlm-roberta text:
+    vlnbert_init.py:6-11, pretrain config/rxr_xlm_model_config.json)."""
+    cfg = hamt_r2r_config().replace(dataset="rxr")
+    cfg = _replace(cfg, "model", vocab_size=250_002,
+                   max_position_embeddings=512, type_vocab_size=2)
+    cfg = _replace(cfg, "env", max_instr_len=250)
+    return cfg
+
+
+def reverie_config(agent: str = "duet") -> Config:
+    """REVERIE object-grounding preset (DUET stack w/ objects,
+    map_nav_src/scripts/run_reverie.sh)."""
+    cfg = duet_r2r_config().replace(dataset="reverie")
+    cfg = _replace(cfg, "model", obj_feat_size=768, max_imagination_len=1)
+    cfg = _replace(cfg, "env", max_instr_len=80)
+    return cfg
+
+
 def tiny_test_config(agent: str = "hamt") -> Config:
     """Small shapes for unit tests / CPU mesh dry-runs."""
     cfg = hamt_r2r_config() if agent == "hamt" else duet_r2r_config()

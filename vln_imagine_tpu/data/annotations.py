@@ -142,6 +142,20 @@ def np_weight_matrix(instr_id: str, meta: AuxMetadata, max_imaginations: int,
     return w
 
 
+def reverie_np_weights(txt_mask: np.ndarray,
+                       max_imaginations: int) -> np.ndarray:
+    """REVERIE/SOON noun-phrase weights: ONE imagination per instruction,
+    aligned to the mean of ALL valid instruction tokens
+    (AlignWithContrastiveLossReverie, VLN-DUET/map_nav_src/models/
+    vilmodel.py:781-827).  Expressed in the shared weight-matrix form: row 0
+    uniform over valid tokens, remaining rows zero."""
+    B, L = txt_mask.shape
+    w = np.zeros((B, max_imaginations, L), np.float32)
+    counts = np.maximum(txt_mask.sum(axis=1, keepdims=True), 1)
+    w[:, 0, :] = txt_mask / counts
+    return w
+
+
 def episodes_from_annotations(
     items: list[dict],
     graphs: list[ScanGraph],

@@ -109,11 +109,11 @@ class FinetuneDriver:
         return {k: float(np.mean(jax.device_get(v))) for k, v in logs.items()}
 
     # ------------------------------------------------------------------ eval
-    def validate(self, split: SplitData, batch_size: int | None = None
-                 ) -> dict:
+    def validate(self, split: SplitData, batch_size: int | None = None,
+                 write_outputs: bool = False) -> dict:
         bs = batch_size or self.cfg.train.batch_size
         n = split.episodes.scan.shape[0]
-        paths, gts, scans, kept_ids = [], [], [], []
+        paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
         for idxs, fresh in EvalSampler(n, bs):
             ep = _take(split.episodes, idxs)
             rng, self._rng = jax.random.split(self._rng)
@@ -129,8 +129,18 @@ class FinetuneDriver:
                 gts.append(list(gt[:gl]))
                 scans.append(int(np.asarray(split.episodes.scan)[b]))
                 kept_ids.append(split.instr_ids[b] if split.instr_ids else b)
+                kept_idx.append(b)
         avg, per = eval_batch(np.asarray(self.tables.dist),
                               np.asarray(scans), paths, gts, kept_ids)
+        if write_outputs:
+            # submit_<env>.json + individual_metrics_<env>.json
+            # (main.py:410-421); requires host graphs for viewpoint ids
+            from vln_imagine_tpu.eval.submission import (
+                write_individual_metrics,
+            )
+            write_individual_metrics(
+                os.path.join(self.log_dir,
+                             f"individual_metrics_{split.name}.json"), per)
         return avg
 
     # ------------------------------------------------------------------ loop
