@@ -106,7 +106,7 @@ class EnvConfig:
     max_action_len: int = 15  # HAMT episode cap (DUET also 15 in released cfg)
     max_instr_len: int = 60  # HAMT 60, DUET 200
     max_gt_path_len: int = 8  # R2R ground-truth paths are 4-7 nodes
-    max_gmap_nodes: int = 64  # DUET topo-map node buffer
+    max_gmap_nodes: int = 96  # DUET topo-map node buffer (worst case ~1+T*K)
     error_margin: float = 3.0  # success threshold in metres (env.py:28)
 
 
@@ -246,7 +246,7 @@ def tiny_test_config(agent: str = "hamt") -> Config:
         cfg, "env",
         max_candidates=7, max_obs_tokens=20, max_nodes=24, views=12,
         max_action_len=6, max_instr_len=16, max_gt_path_len=6,
-        max_gmap_nodes=12,
+        max_gmap_nodes=24,
     )
     cfg = _replace(cfg, "train", batch_size=2, feat_dropout=0.0)
     return cfg

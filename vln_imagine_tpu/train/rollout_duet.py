@@ -270,8 +270,12 @@ def rollout_duet(
                     (B,))[:, None], axis=1)[:, 0]
             match = (gnodes == tgt_node[:, None]) & gvalid_s
             slot = jnp.argmax(match, axis=1) + 1
+            has_match = jnp.any(match, axis=1)
             is_stop = t >= ep.gt_len - 1
-            teacher = jnp.where(is_stop, 0, slot)
+            # a missing target means the map buffer overflowed: supervising
+            # against a masked logit would inject a huge bogus CE, so ignore
+            teacher = jnp.where(is_stop, 0,
+                                jnp.where(has_match, slot, ignore))
         else:
             cand_ok = gvalid_s & ~gvisited_s
             if expert_policy == "ndtw":
@@ -304,7 +308,9 @@ def rollout_duet(
                                          gnodes])
                 cand_cost = jnp.where(cand_ok, cand_cost, INF)
             slot = jnp.argmin(cand_cost, axis=1) + 1
-            teacher = jnp.where(st.node == goal, 0, slot)
+            any_choice = jnp.any(cand_ok, axis=1)
+            teacher = jnp.where(st.node == goal, 0,
+                                jnp.where(any_choice, slot, ignore))
         teacher = jnp.where(st.ended, ignore, teacher)
 
         if train_ml is not None:
