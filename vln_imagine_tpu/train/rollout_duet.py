@@ -76,10 +76,11 @@ def rollout_duet(
     feedback: str = "teacher",
     train_ml: float | None = 1.0,
     deterministic: bool = True,
+    max_steps: int | None = None,
 ) -> DuetRolloutResult:
     mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
     B = ep.batch
-    T = ecfg.max_action_len
+    T = max_steps or ecfg.max_action_len
     K = tables.max_candidates
     Gcap = ecfg.max_gmap_nodes
     N = tables.max_nodes

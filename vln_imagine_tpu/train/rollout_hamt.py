@@ -81,12 +81,13 @@ def rollout_hamt(
     train_ml: float | None = 1.0,
     train_rl: bool = False,
     deterministic: bool = True,
+    max_steps: int | None = None,
 ) -> RolloutResult:
     if feedback in ("teacher", "argmax"):
         train_rl = False
     mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
     B = ep.batch
-    T = ecfg.max_action_len
+    T = max_steps or ecfg.max_action_len
     K = tables.max_candidates
     ignore = tcfg.ignoreid
     # r2r_back (Seq2SeqBackAgent, agent_r2rback.py:100-276): the first stop

@@ -80,6 +80,12 @@ class HamtTrainer:
         assert tx is not None, "call init_state first"
         ml_w = cfg.train.ml_weight
         teacher_w = cfg.train.teacher_weight
+        # teacher-forced rollouts stop by the end of the annotated path, so
+        # they need only max_gt_path_len scan steps (the reference's
+        # early-exit `break`, agent_cmt.py:658-659); cvdn supervises with
+        # shortest paths of unbounded annotated length
+        t_il = (cfg.env.max_action_len if cfg.dataset == "cvdn"
+                else min(cfg.env.max_gt_path_len, cfg.env.max_action_len))
 
         def loss_fn(params, critic_params, ep_il, ep_rl, rng):
             r1, r2 = jax.random.split(rng)
@@ -89,7 +95,8 @@ class HamtTrainer:
                 res = rollout_hamt(model, critic, params, critic_params,
                                    tables, ep_il, cfg, r1,
                                    feedback="teacher", train_ml=teacher_w,
-                                   train_rl=False, deterministic=False)
+                                   train_rl=False, deterministic=False,
+                                   max_steps=t_il)
                 loss += res.loss
                 metrics.update(ml_loss=res.ml_loss, aux_loss=res.aux_loss,
                                rl_loss=jnp.asarray(0.0),
@@ -99,7 +106,8 @@ class HamtTrainer:
                     res_il = rollout_hamt(model, critic, params, critic_params,
                                           tables, ep_il, cfg, r1,
                                           feedback="teacher", train_ml=ml_w,
-                                          train_rl=False, deterministic=False)
+                                          train_rl=False, deterministic=False,
+                                          max_steps=t_il)
                     loss += res_il.loss
                     metrics.update(ml_loss=res_il.ml_loss,
                                    aux_loss=res_il.aux_loss)

@@ -64,6 +64,8 @@ class DuetTrainer:
         assert tx is not None
         alg = cfg.train.train_alg
         ml_w = cfg.train.ml_weight
+        t_il = (cfg.env.max_action_len if cfg.dataset == "cvdn"
+                else min(cfg.env.max_gt_path_len, cfg.env.max_action_len))
 
         def loss_fn(params, ep_il, ep_student, rng):
             r1, r2 = jax.random.split(rng)
@@ -72,14 +74,15 @@ class DuetTrainer:
             if alg == "imitation":
                 res = rollout_duet(model, params, tables, ep_il, cfg, r1,
                                    feedback="teacher", train_ml=1.0,
-                                   deterministic=False)
+                                   deterministic=False, max_steps=t_il)
                 loss += res.loss
                 metrics.update(ml_loss=res.ml_loss, aux_loss=res.aux_loss)
             elif alg == "dagger":
                 if ml_w != 0:
                     res_il = rollout_duet(model, params, tables, ep_il, cfg,
                                           r1, feedback="teacher",
-                                          train_ml=ml_w, deterministic=False)
+                                          train_ml=ml_w, deterministic=False,
+                                          max_steps=t_il)
                     loss += res_il.loss
                     metrics.update(ml_loss=res_il.ml_loss,
                                    aux_loss=res_il.aux_loss)
