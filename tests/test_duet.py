@@ -111,6 +111,30 @@ def test_eval_rollout_paths_are_graph_walks(setup):
             assert c in adj[scan[b], a][adj_valid[scan[b], a]], (b, a, c)
 
 
+def test_rl_train_step(setup):
+    """train_alg='rl' runs a working A2C (the reference's branch is inert:
+    agent_base.py:213-220 passes train_rl=True but rollout ignores it)."""
+    from vln_imagine_tpu.config import _replace
+
+    cfg, _, world, ep, _, _ = setup
+    cfg_rl = _replace(cfg, "train", train_alg="rl")
+    trainer = DuetTrainer(cfg_rl, world)
+    state = trainer.init_state(ep)
+    assert state.critic_params is not None
+    step = trainer.make_train_step()
+    state2, metrics = step(state, ep, ep, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["rl_loss"]))
+    assert float(metrics["rl_loss"]) != 0.0
+    assert float(metrics["grad_norm"]) > 0
+    deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                          state.params, state2.params)
+    assert max(jax.tree.leaves(deltas)) > 0
+    c_deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                            state.critic_params, state2.critic_params)
+    assert max(jax.tree.leaves(c_deltas)) > 0
+
+
 def test_dagger_train_step(setup):
     cfg, _, world, ep, trainer, state = setup
     step = trainer.make_train_step()

@@ -81,6 +81,20 @@ class ModelConfig:
     fix_lang_inside_cosine_model: bool = False  # DUET: detach txt in aux loss
     no_loss_test: bool = False
 
+    # On-the-fly imagination feature extraction (BASELINE config 4): run a
+    # flax ViT inside the jitted fine-tune step on raw (preprocessed)
+    # imagination images carried in EpisodeBatch.imagine_images, instead of
+    # reading precomputed features.  'frozen' stops gradients and masks the
+    # ViT out of the optimizer; 'trainable' fine-tunes it with the navigator.
+    # (The reference only ever runs ViT-in-the-loop during pre-training,
+    # pretrain_src/model/image_vilmodel.py:40-59; this extends it to the
+    # fine-tune step.)
+    e2e_imagination: str = "off"  # off | frozen | trainable
+    e2e_vit_image_size: int = 224
+    e2e_vit_patch_size: int = 16
+    e2e_vit_layers: int = 12
+    e2e_vit_heads: int = 12
+
     # Numerics: params always f32; matmul/attention compute dtype.
     compute_dtype: str = "bfloat16"
     # Fused pallas attention (TPU only; used when attention dropout is off,

@@ -164,6 +164,7 @@ def episodes_from_annotations(
     max_gt_path_len: int,
     max_imaginations: int,
     imagine_feats: np.ndarray | None = None,
+    imagine_images: np.ndarray | None = None,
 ) -> tuple[EpisodeBatch, list[str]]:
     """Annotation dicts -> EpisodeBatch (+ instr_id list for eval joins)."""
     scan_index = {g.scan_id: s for s, g in enumerate(graphs)}
@@ -209,7 +210,7 @@ def episodes_from_annotations(
         scan=scan, start_node=start, start_heading=heading,
         gt_path=gt_path, gt_len=gt_len, txt_ids=txt_ids, txt_mask=txt_mask,
         imagine_feats=imagine_feats, imagine_mask=imagine_mask,
-        np_weights=np_w)
+        np_weights=np_w, imagine_images=imagine_images)
     return ep, instr_ids
 
 

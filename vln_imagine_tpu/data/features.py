@@ -79,6 +79,49 @@ def build_feature_table(
     return out
 
 
+class RawImaginationImageBank:
+    """Raw imagination images keyed by instr_id, for in-step ViT extraction
+    (ModelConfig.e2e_imagination).  Replaces the reference's LMDB raw-image
+    store (pretrain_src/data/image_data.py) with one mmap'd .npy of
+    preprocessed float32 images plus an instr_id -> row-range index, so batch
+    assembly is zero-copy slicing."""
+
+    def __init__(self, array_path: str, index: dict[str, tuple[int, int]],
+                 image_size: int):
+        self.arr = np.load(array_path, mmap_mode="r")
+        assert self.arr.ndim == 4 and self.arr.shape[1] == image_size, \
+            f"expected [N, {image_size}, {image_size}, 3], got {self.arr.shape}"
+        self.index = index
+        self.image_size = image_size
+
+    def get_images(self, instr_id: str) -> np.ndarray:
+        lo, hi = self.index[instr_id]
+        return np.asarray(self.arr[lo:hi])
+
+    def batch_images(self, instr_ids: Iterable[str],
+                     generated_flags: dict[str, list[str]],
+                     max_imaginations: int) -> tuple[np.ndarray, np.ndarray]:
+        """(images [B, I, H, W, 3], mask [B, I]) with the same sub-instruction
+        slot scatter as build_imagination_arrays."""
+        instr_ids = list(instr_ids)
+        B, I, hw = len(instr_ids), max_imaginations, self.image_size
+        imgs = np.zeros((B, I, hw, hw, 3), np.float32)
+        mask = np.zeros((B, I), bool)
+        for b, instr_id in enumerate(instr_ids):
+            flags = [f == "True" for f in generated_flags[instr_id]]
+            if not any(flags):
+                continue
+            raw = self.get_images(instr_id)
+            assert raw.shape[0] == sum(flags), instr_id
+            j = 0
+            for i, flag in enumerate(flags[:I]):
+                if flag:
+                    imgs[b, i] = raw[j]
+                    mask[b, i] = True
+                    j += 1
+        return imgs, mask
+
+
 def build_imagination_arrays(
     db, instr_ids: Iterable[str], generated_flags: dict[str, list[str]],
     max_imaginations: int, feat_dim: int,

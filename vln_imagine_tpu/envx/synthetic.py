@@ -106,6 +106,7 @@ def synthetic_episodes(
     feat_dim: int | None = None,
     seed: int = 0,
     min_hops: int = 2,
+    imagine_image_size: int | None = None,
 ) -> EpisodeBatch:
     """Sample R2R-like episodes: (start, goal) pairs a few hops apart, the
     ground-truth path from the next-hop table, random instruction tokens,
@@ -181,6 +182,14 @@ def synthetic_episodes(
                                                             goals[b]]]
             gt_obj_id[b] = vis[rng.integers(0, len(vis))] if len(vis) else 0
 
+    imagine_images = None
+    if imagine_image_size is not None:
+        # raw (preprocessed) imagination images for e2e_imagination mode
+        hw = imagine_image_size
+        imagine_images = rng.standard_normal(
+            (batch, I, hw, hw, 3)).astype(np.float32)
+        imagine_images *= imagine_mask[:, :, None, None, None]
+
     return EpisodeBatch(
         scan=scans.astype(np.int32),
         start_node=starts.astype(np.int32),
@@ -193,4 +202,5 @@ def synthetic_episodes(
         imagine_mask=imagine_mask,
         np_weights=np_weights,
         gt_obj_id=gt_obj_id,
+        imagine_images=imagine_images,
     )

@@ -84,6 +84,9 @@ class EpisodeBatch:
     #  vilmodel_cmt.py:750-790)
     midstop: Optional[jnp.ndarray] = None  # [B] i32 r2r_back turn-around node
     gt_obj_id: Optional[jnp.ndarray] = None  # [B] i32 REVERIE/SOON target obj
+    # [B, I, Hp, Wp, 3] raw (preprocessed) imagination images, used instead of
+    # imagine_feats when ModelConfig.e2e_imagination != 'off'
+    imagine_images: Optional[jnp.ndarray] = None
 
     @property
     def batch(self) -> int:

@@ -37,6 +37,7 @@ from vln_imagine_tpu.models.bert import (
     _dtype,
 )
 from vln_imagine_tpu.models.hamt import BypassImagineEmbeddings
+from vln_imagine_tpu.models.vit import extract_imagine_features, make_imagine_vit
 from vln_imagine_tpu.ops.masks import extend_neg_mask, mask_logits
 
 
@@ -128,6 +129,8 @@ class DuetModel(nn.Module):
                 self.imagine_embeddings = BypassImagineEmbeddings(cfg)
             if cfg.use_cosine_aux_loss or cfg.no_loss_test:
                 self.image_proj = MLPProjectionHead(cfg)
+            if cfg.e2e_imagination != "off":
+                self.imagine_vit = make_imagine_vit(cfg)
         self.drop_env = nn.Dropout(self.feat_dropout)
 
     # ------------------------------------------------------------------ modes
@@ -143,6 +146,10 @@ class DuetModel(nn.Module):
         return x
 
     def imagine(self, imagine_feats, deterministic=True):
+        if self.config.e2e_imagination != "off":
+            # raw images [B, I, Hp, Wp, 3] -> in-model ViT class tokens
+            imagine_feats = extract_imagine_features(
+                self.imagine_vit, imagine_feats, self.config, deterministic)
         imagine_feats = self.drop_env(imagine_feats,
                                       deterministic=deterministic)
         return self.imagine_embeddings(imagine_feats)

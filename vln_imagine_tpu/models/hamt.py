@@ -35,6 +35,7 @@ from vln_imagine_tpu.models.bert import (
     NextActionPrediction,
     _dtype,
 )
+from vln_imagine_tpu.models.vit import extract_imagine_features, make_imagine_vit
 from vln_imagine_tpu.ops.masks import extend_neg_mask, mask_logits
 
 
@@ -232,6 +233,8 @@ class HamtModel(nn.Module):
                 self.imagine_embeddings = ImagineEmbeddings(cfg)
             if cfg.use_cosine_aux_loss or cfg.no_loss_test:
                 self.image_proj = MLPProjectionHead(cfg)
+            if cfg.e2e_imagination != "off":
+                self.imagine_vit = make_imagine_vit(cfg)
         self.lang_layers = [
             BertLayer(cfg, name=f"lang_layer_{i}")
             for i in range(cfg.num_l_layers)]
@@ -285,6 +288,11 @@ class HamtModel(nn.Module):
 
     def imagine(self, imagine_feats, imagine_mask=None, deterministic=True):
         cfg = self.config
+        if cfg.e2e_imagination != "off":
+            # imagine_feats is raw images [B, I, Hp, Wp, 3]: extract class-
+            # token features with the in-model ViT (BASELINE config 4)
+            imagine_feats = extract_imagine_features(
+                self.imagine_vit, imagine_feats, cfg, deterministic)
         imagine_feats = self.drop_env(imagine_feats,
                                       deterministic=deterministic)
         if cfg.bypass_imag_encoder:

@@ -97,6 +97,33 @@ class VisionTransformer(nn.Module):
         return x[:, 0], x
 
 
+def make_imagine_vit(model_cfg) -> "VisionTransformer":
+    """ViT submodule for in-step imagination feature extraction
+    (ModelConfig.e2e_imagination).  Hidden size tracks the navigator's so the
+    class token feeds BypassImagineEmbeddings directly."""
+    return VisionTransformer(ViTConfig(
+        image_size=model_cfg.e2e_vit_image_size,
+        patch_size=model_cfg.e2e_vit_patch_size,
+        hidden_size=model_cfg.hidden_size,
+        num_layers=model_cfg.e2e_vit_layers,
+        num_heads=model_cfg.e2e_vit_heads,
+        compute_dtype=model_cfg.compute_dtype))
+
+
+def extract_imagine_features(vit: "VisionTransformer", images, model_cfg,
+                             deterministic=True):
+    """[B, I, Hp, Wp, 3] raw (preprocessed) images -> [B, I, H] class-token
+    features, inside the caller's jit.  'frozen' stops gradients so the
+    backward pass skips the ViT entirely."""
+    B, I = images.shape[:2]
+    flat = images.reshape((B * I,) + images.shape[2:])
+    cls, _ = vit(flat, deterministic)
+    feats = cls.reshape(B, I, -1).astype(jnp.float32)
+    if model_cfg.e2e_imagination == "frozen":
+        feats = jax.lax.stop_gradient(feats)
+    return feats
+
+
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 

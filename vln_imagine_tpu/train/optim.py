@@ -45,6 +45,24 @@ def label_hamt_params(params: Any) -> Any:
     return {"params": labels} if "params" in params else labels
 
 
+def freeze_module(tx: optax.GradientTransformation,
+                  module: str) -> optax.GradientTransformation:
+    """Permanently mask one top-level module out of `tx` (zero updates, so
+    e.g. AdamW weight decay cannot drift params whose grads are stopped) —
+    used for ModelConfig.e2e_imagination == 'frozen'."""
+
+    def label(params):
+        inner = params["params"] if "params" in params else params
+        labels = {}
+        for k, v in inner.items():
+            lbl = "frozen" if k == module else "train"
+            labels[k] = jax.tree.map(lambda _, s=lbl: s, v)
+        return {"params": labels} if "params" in params else labels
+
+    return optax.multi_transform(
+        {"frozen": optax.set_to_zero(), "train": tx}, label)
+
+
 class FreezeState(NamedTuple):
     inner: Any
     count: jnp.ndarray

@@ -44,6 +44,7 @@ class DuetRolloutResult(NamedTuple):
     entropy_sum: jnp.ndarray
     og_loss: jnp.ndarray = None   # scalar object-grounding CE (REVERIE/SOON)
     pred_obj: jnp.ndarray = None  # [B] predicted object id at the stop node
+    rl_loss: jnp.ndarray = None   # scalar A2C loss (train_alg='rl' only)
 
 
 def path_buffer_len(cfg: Config) -> int:
@@ -77,7 +78,19 @@ def rollout_duet(
     train_ml: float | None = 1.0,
     deterministic: bool = True,
     max_steps: int | None = None,
+    critic: Any = None,
+    critic_params: Any = None,
+    train_rl: bool = False,
 ) -> DuetRolloutResult:
+    # A2C for DUET: the reference declares a `train_alg='rl'` dispatch and a
+    # Critic (agent_base.py:213-220, agent.py:34) but its rollout ignores
+    # `train_rl` entirely — the branch is inert.  Here it is a working A2C
+    # matching HAMT's semantics (agent_cmt.py:615-744): distance+nDTW reward
+    # shaping on the teleported node, reverse-scan discounted returns, 0.5 L2
+    # critic loss, entropy bonus.  Critic state is gmap[CLS] * vp[CLS]
+    # (mirroring HAMT's txt[CLS]*hist[CLS] fusion, model_HAMT.py:86).
+    if feedback in ("teacher", "argmax"):
+        train_rl = False
     mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
     B = ep.batch
     T = max_steps or ecfg.max_action_len
@@ -100,8 +113,9 @@ def rollout_duet(
     aux_loss = jnp.asarray(0.0)
     imagine_embeds = None
     if mcfg.imagine_enc_pano:
-        imagine_embeds = apply(DuetModel.imagine, ep.imagine_feats,
-                               rngs_key=r_imag)
+        imag_in = (ep.imagine_images if mcfg.e2e_imagination != "off"
+                   else ep.imagine_feats)
+        imagine_embeds = apply(DuetModel.imagine, imag_in, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
             aux_loss, imagine_embeds = apply(
                 DuetModel.align_with_contrastive_loss, txt_embeds, ep.txt_mask,
@@ -139,8 +153,8 @@ def rollout_duet(
         return jax.lax.fori_loop(0, hop_nodes.shape[1], body, row)
 
     def step_fn(carry, t):
-        (st, gm, path, plen, dtw_row, node_obj, pred_obj, ml_acc, og_acc,
-         ent_acc, key) = carry
+        (st, gm, path, plen, dtw_row, last_dist, last_ndtw, node_obj,
+         pred_obj, ml_acc, og_acc, ent_acc, key) = carry
         key, k_pano, k_nav, k_act = jax.random.split(key, 4)
         active = ~st.ended
 
@@ -327,6 +341,7 @@ def rollout_duet(
         if feedback == "teacher":
             a_t = teacher
             ent = jnp.zeros((B,))
+            logp_a = jnp.zeros((B,))
         else:
             logp = jax.nn.log_softmax(
                 jnp.where(valid_act, nav_logits, LOGIT_NEG_INF
@@ -339,15 +354,17 @@ def rollout_duet(
                 a_t = jax.random.categorical(k_act, logp, -1).astype(jnp.int32)
             else:
                 raise ValueError(feedback)
+            logp_a = jnp.take_along_axis(logp, a_t[:, None], 1)[:, 0]
         ent_acc = ent_acc + jnp.sum(jnp.where(st.ended, 0.0, ent))
 
         # stop rule (agent.py:570-575): training stops at the gt goal,
-        # inference stops on predicted stop
-        if feedback in ("teacher", "sample"):
+        # inference stops on predicted stop.  Under A2C the policy must learn
+        # its own stop, so the sampled stop action is honoured.
+        if train_rl or feedback not in ("teacher", "sample"):
+            a_t_stop = a_t == 0
+        else:
             a_t_stop = st.node == jnp.take_along_axis(
                 ep.gt_path, (ep.gt_len - 1)[:, None], 1)[:, 0]
-        else:
-            a_t_stop = a_t == 0
         stop_now = (a_t_stop | st.ended | no_vp_left
                     | (a_t == ignore) | (t == T - 1))
         just_ended = stop_now & ~st.ended
@@ -407,6 +424,34 @@ def rollout_duet(
         st2 = st.replace(node=new_node, view_index=new_view,
                          ended=st.ended | stop_now, step=st.step + 1)
 
+        ended_pre = st.ended
+        just_stopped = just_ended
+        if train_rl:
+            # reward shaping on the effective post-teleport node (the
+            # backtracked stop node for just-ended items); same schedule as
+            # HAMT (agent_cmt.py:615-653) — dtw_row already folded in the
+            # teleport and backtrack hops
+            eff_node = jnp.where(do_back, best_stop_node, new_node)
+            dist = dist_full[ep.scan, eff_node, goal]
+            ndtw = envx.dtw_ndtw(dtw_row, ep, ecfg.error_margin)
+            stop_rew = jnp.where(dist < 3.0, 2.0 + ndtw * 2.0, -2.0)
+            delta = -(dist - last_dist)
+            ndtw_rew = ndtw - last_ndtw
+            move_rew = jnp.where(delta > 0.0, 1.0 + ndtw_rew,
+                                 jnp.where(delta < 0.0, -1.0 + ndtw_rew, 0.0))
+            move_rew = move_rew - jnp.where(
+                (last_dist <= 1.0) & (delta < 0.0),
+                (1.0 - last_dist) * 2.0, 0.0)
+            reward = jnp.where(ended_pre, 0.0,
+                               jnp.where(just_stopped, stop_rew, move_rew))
+            last_dist = jnp.where(ended_pre, last_dist, dist)
+            last_ndtw = jnp.where(ended_pre, last_ndtw, ndtw)
+        else:
+            reward = jnp.zeros((B,))
+        rl_mask = jnp.where(ended_pre, 0.0, 1.0)
+        state_vec = (out.gmap_embeds[:, 0]
+                     * out.vp_embeds[:, 0]).astype(jnp.float32)
+
         # ---------------- observe the new node, grow the graph
         obs2 = envx.observe_duet(tables, ep, st2, mcfg.angle_feat_size)
         active2 = ~st2.ended
@@ -418,19 +463,23 @@ def rollout_duet(
                          obs2.cand_valid & active2[:, None])
         gm = G.relax(gm, st2.node, active2)
 
-        carry = (st2, gm, path, plen, dtw_row, node_obj, pred_obj, ml_acc,
-                 og_acc, ent_acc, key)
-        return carry, (nav_logits, a_t)
+        carry = (st2, gm, path, plen, dtw_row, last_dist, last_ndtw, node_obj,
+                 pred_obj, ml_acc, og_acc, ent_acc, key)
+        return carry, (nav_logits, a_t, logp_a, ent, state_vec, reward,
+                       rl_mask)
 
     rng, k_scan = jax.random.split(rng)
     node_obj0 = jnp.full((B, Gcap + 1), -1, jnp.int32)
     pred_obj0 = jnp.full((B,), -1, jnp.int32)
-    carry0 = (state0, gm, path0, plen0, dtw_row0, node_obj0, pred_obj0,
+    last_dist0 = envx.distance_to_goal(tables, ep, state0.node)
+    last_ndtw0 = envx.dtw_ndtw(dtw_row0, ep, ecfg.error_margin)
+    carry0 = (state0, gm, path0, plen0, dtw_row0, last_dist0, last_ndtw0,
+              node_obj0, pred_obj0,
               jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    (stT, gmT, pathT, plenT, _, _, pred_objT, ml_acc, og_acc, ent_acc,
+    (stT, gmT, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc, ent_acc,
      _) = carry
-    logits_seq, actions = ys
+    logits_seq, actions, logps, entropys, states, rewards, masks = ys
 
     ml_loss = jnp.asarray(0.0)
     og_loss = jnp.asarray(0.0)
@@ -443,10 +492,43 @@ def rollout_duet(
             og_loss = og_acc * train_ml / B
             loss = loss + og_loss
 
+    rl_loss = jnp.asarray(0.0)
+    if train_rl:
+        # every item is forced to end by t == T-1 (stop_now includes it), so
+        # the bootstrap value of the post-episode state is always zero
+        rng, k_cs = jax.random.split(rng)
+        crngs = None if deterministic else {"dropout": k_cs}
+
+        def a2c_step(disc, ys_t):
+            logp_t, state_t, reward_t, mask_t = ys_t
+            disc = disc * tcfg.gamma + reward_t
+            v = critic.apply(critic_params, state_t,
+                             deterministic=deterministic,
+                             rngs=crngs).astype(jnp.float32)
+            adv = jax.lax.stop_gradient(disc - v)
+            pol = jnp.sum(-logp_t * adv * mask_t)
+            cri = jnp.sum(((disc - v) ** 2) * mask_t) * 0.5
+            return disc, pol + cri
+
+        _, step_losses = jax.lax.scan(
+            a2c_step, jnp.zeros((B,)), (logps, states, rewards, masks),
+            reverse=True)
+        rl_loss = jnp.sum(step_losses)
+        if feedback == "sample":
+            rl_loss = rl_loss + jnp.sum(
+                -tcfg.entropy_loss_weight * entropys * masks)
+        total = jnp.sum(masks)
+        if tcfg.normalize_loss == "total":
+            rl_loss = rl_loss / jnp.maximum(total, 1.0)
+        elif tcfg.normalize_loss == "batch":
+            rl_loss = rl_loss / B
+        loss = loss + rl_loss
+
     return DuetRolloutResult(
         loss=loss, ml_loss=ml_loss, aux_loss=aux_loss,
         path_nodes=pathT, path_len=plenT, logits=logits_seq, actions=actions,
-        entropy_sum=ent_acc, og_loss=og_loss, pred_obj=pred_objT)
+        entropy_sum=ent_acc, og_loss=og_loss, pred_obj=pred_objT,
+        rl_loss=rl_loss)
 
 
 def _edge_weights(tables, ep, src_node, dst_nodes):

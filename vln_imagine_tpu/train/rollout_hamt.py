@@ -109,7 +109,9 @@ def rollout_hamt(
     aux_loss = jnp.asarray(0.0)
     imagine_embeds = None
     if mcfg.imagine_enc_pano:
-        imagine_embeds = apply(HamtModel.imagine, ep.imagine_feats,
+        imag_in = (ep.imagine_images if mcfg.e2e_imagination != "off"
+                   else ep.imagine_feats)
+        imagine_embeds = apply(HamtModel.imagine, imag_in,
                                ep.imagine_mask, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
             aux_loss, imagine_embeds = apply(

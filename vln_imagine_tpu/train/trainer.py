@@ -22,7 +22,8 @@ from vln_imagine_tpu.config import Config
 from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
 from vln_imagine_tpu.models.bert import Critic
 from vln_imagine_tpu.models.hamt import HamtModel
-from vln_imagine_tpu.train.optim import plain_optimizer, warmup_variant4_optimizer
+from vln_imagine_tpu.train.optim import (
+    freeze_module, plain_optimizer, warmup_variant4_optimizer)
 from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
 
 
@@ -51,6 +52,10 @@ class HamtTrainer:
             tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
                                  cfg.train.max_grad_norm)
             self._tx_builder = lambda params: tx
+        if cfg.model.e2e_imagination == "frozen":
+            inner_builder = self._tx_builder
+            self._tx_builder = lambda params: freeze_module(
+                inner_builder(params), "imagine_vit")
         self.critic_tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
                                          max_grad_norm=None)
         self.tx = None
@@ -173,7 +178,9 @@ def _init_params(model: HamtModel, cfg: Config, tables: WorldTables,
         hist_mask = jnp.ones((1, 1), bool)
         imagine = None
         if mcfg.imagine_enc_pano:
-            imagine = mdl.imagine(ep1.imagine_feats, ep1.imagine_mask)
+            imag_in = (ep1.imagine_images if mcfg.e2e_imagination != "off"
+                       else ep1.imagine_feats)
+            imagine = mdl.imagine(imag_in, ep1.imagine_mask)
             if mcfg.use_cosine_aux_loss:
                 _, imagine = mdl.align_with_contrastive_loss(
                     txt, ep1.txt_mask, imagine, ep1.imagine_mask,

@@ -3,8 +3,10 @@
 One call = one reference iteration (VLN-DUET/map_nav_src/r2r/agent_base.py:
 185-231): train_alg 'imitation' runs a single teacher-forced rollout;
 'dagger' (released R2R config) adds a student-sampled rollout supervised by
-the SPL-optimal expert with weight 1.  The released DUET config uses no RL
-(gamma 0), so there is no critic here.
+the SPL-optimal expert with weight 1.  train_alg 'rl' adds an IL rollout plus
+a sampled A2C rollout with a critic — the reference declares this dispatch
+and a Critic but its rollout ignores `train_rl` (the branch is inert); here
+it is a working A2C (see rollout_duet).
 """
 
 from __future__ import annotations
@@ -19,8 +21,10 @@ from flax import struct
 from vln_imagine_tpu.config import Config
 from vln_imagine_tpu.envx import env as envx
 from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
+from vln_imagine_tpu.models.bert import Critic
 from vln_imagine_tpu.models.duet import DuetModel
-from vln_imagine_tpu.train.optim import plain_optimizer, warmup_variant4_optimizer
+from vln_imagine_tpu.train.optim import (
+    freeze_module, plain_optimizer, warmup_variant4_optimizer)
 from vln_imagine_tpu.train.rollout_duet import rollout_duet
 
 
@@ -29,12 +33,17 @@ class DuetTrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    critic_params: Any = None      # train_alg='rl' only
+    critic_opt_state: Any = None
 
 
 class DuetTrainer:
     def __init__(self, cfg: Config, tables: WorldTables, rng=None):
         self.cfg = cfg
         self.model = DuetModel(cfg.model, feat_dropout=cfg.train.feat_dropout)
+        self.critic = Critic(cfg.model)
+        self.critic_tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
+                                         max_grad_norm=None)
         self.tables = tables
         if cfg.train.experimental_warmup and \
                 cfg.train.experimental_warmup_type == "variant4" and \
@@ -46,6 +55,10 @@ class DuetTrainer:
             tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
                                  cfg.train.max_grad_norm)
             self._tx_builder = lambda params: tx
+        if cfg.model.e2e_imagination == "frozen":
+            inner_builder = self._tx_builder
+            self._tx_builder = lambda params: freeze_module(
+                inner_builder(params), "imagine_vit")
         self.tx = None
         self._rng = rng if rng is not None else jax.random.PRNGKey(
             cfg.train.seed)
@@ -55,11 +68,19 @@ class DuetTrainer:
         ep1 = jax.tree.map(lambda x: x[:1], example_ep)
         params = _init_duet_params(self.model, self.cfg, self.tables, ep1, rng)
         self.tx = self._tx_builder(params)
+        critic_params = critic_opt_state = None
+        if self.cfg.train.train_alg == "rl":
+            critic_params = self.critic.init(
+                rng, jnp.zeros((1, self.cfg.model.hidden_size)))
+            critic_opt_state = self.critic_tx.init(critic_params)
         return DuetTrainState(step=jnp.zeros([], jnp.int32), params=params,
-                              opt_state=self.tx.init(params))
+                              opt_state=self.tx.init(params),
+                              critic_params=critic_params,
+                              critic_opt_state=critic_opt_state)
 
     def make_train_step(self):
         cfg, model, tables = self.cfg, self.model, self.tables
+        critic, critic_tx = self.critic, self.critic_tx
         tx = self.tx
         assert tx is not None
         alg = cfg.train.train_alg
@@ -67,7 +88,7 @@ class DuetTrainer:
         t_il = (cfg.env.max_action_len if cfg.dataset == "cvdn"
                 else min(cfg.env.max_gt_path_len, cfg.env.max_action_len))
 
-        def loss_fn(params, ep_il, ep_student, rng):
+        def loss_fn(params, critic_params, ep_il, ep_student, rng):
             r1, r2 = jax.random.split(rng)
             metrics = {}
             loss = 0.0
@@ -92,21 +113,59 @@ class DuetTrainer:
                 loss += res_dg.loss
                 metrics.update(dagger_loss=res_dg.ml_loss,
                                entropy=res_dg.entropy_sum)
+            elif alg == "rl":
+                if ml_w != 0:
+                    res_il = rollout_duet(model, params, tables, ep_il, cfg,
+                                          r1, feedback="teacher",
+                                          train_ml=ml_w, deterministic=False,
+                                          max_steps=t_il)
+                    loss += res_il.loss
+                    metrics.update(ml_loss=res_il.ml_loss,
+                                   aux_loss=res_il.aux_loss)
+                res_rl = rollout_duet(model, params, tables, ep_student, cfg,
+                                      r2, feedback="sample", train_ml=None,
+                                      deterministic=False, critic=critic,
+                                      critic_params=critic_params,
+                                      train_rl=True)
+                loss += res_rl.loss
+                metrics.update(rl_loss=res_rl.rl_loss,
+                               entropy=res_rl.entropy_sum)
             else:
                 raise ValueError(alg)
             return loss, metrics
 
-        @jax.jit
-        def train_step(state: DuetTrainState, ep_il, ep_student, rng):
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, ep_il, ep_student, rng)
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            metrics["loss"] = loss
-            metrics["grad_norm"] = optax.global_norm(grads)
-            return DuetTrainState(step=state.step + 1, params=params,
-                                  opt_state=opt_state), metrics
+        if alg == "rl":
+            @jax.jit
+            def train_step(state: DuetTrainState, ep_il, ep_student, rng):
+                (loss, metrics), (g_model, g_critic) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, state.critic_params, ep_il, ep_student, rng)
+                updates, opt_state = tx.update(g_model, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                c_updates, c_opt_state = critic_tx.update(
+                    g_critic, state.critic_opt_state, state.critic_params)
+                critic_params = optax.apply_updates(state.critic_params,
+                                                    c_updates)
+                metrics["loss"] = loss
+                metrics["grad_norm"] = optax.global_norm(g_model)
+                return DuetTrainState(
+                    step=state.step + 1, params=params, opt_state=opt_state,
+                    critic_params=critic_params,
+                    critic_opt_state=c_opt_state), metrics
+        else:
+            @jax.jit
+            def train_step(state: DuetTrainState, ep_il, ep_student, rng):
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, None, ep_il,
+                                           ep_student, rng)
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                params = optax.apply_updates(state.params, updates)
+                metrics["loss"] = loss
+                metrics["grad_norm"] = optax.global_norm(grads)
+                return DuetTrainState(step=state.step + 1, params=params,
+                                      opt_state=opt_state), metrics
 
         return train_step
 
@@ -139,7 +198,9 @@ def _init_duet_params(model: DuetModel, cfg: Config, tables: WorldTables,
         txt = mdl.text(ep1.txt_ids, ep1.txt_mask)
         imagine = None
         if mcfg.imagine_enc_pano:
-            imagine = mdl.imagine(ep1.imagine_feats)
+            imag_in = (ep1.imagine_images if mcfg.e2e_imagination != "off"
+                       else ep1.imagine_feats)
+            imagine = mdl.imagine(imag_in)
             if mcfg.use_cosine_aux_loss:
                 _, imagine = mdl.align_with_contrastive_loss(
                     txt, ep1.txt_mask, imagine, ep1.imagine_mask,
