@@ -81,6 +81,7 @@ def rollout_duet(
     critic: Any = None,
     critic_params: Any = None,
     train_rl: bool = False,
+    early_exit: bool = False,
 ) -> DuetRolloutResult:
     # A2C for DUET: the reference declares a `train_alg='rl'` dispatch and a
     # Critic (agent_base.py:213-220, agent.py:34) but its rollout ignores
@@ -476,6 +477,33 @@ def rollout_duet(
     carry0 = (state0, gm, path0, plen0, dtw_row0, last_dist0, last_ndtw0,
               node_obj0, pred_obj0,
               jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
+    if early_exit:
+        # inference-only while_loop: stop once every episode has ended
+        # instead of running the full fixed-T scan (see rollout_hamt)
+        assert train_ml is None and not train_rl, \
+            "early_exit is for inference rollouts only"
+
+        def cond_fn(tc):
+            t, carry = tc
+            return (t < T) & jnp.any(~carry[0].ended)
+
+        def body_fn(tc):
+            t, carry = tc
+            carry, _ = step_fn(carry, t)
+            return t + 1, carry
+
+        _, carry = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0))
+        (stT, gmT, pathT, plenT, _, _, _, _, pred_objT, _, _, ent_acc,
+         _) = carry
+        loss = (mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss
+                else jnp.asarray(0.0))
+        return DuetRolloutResult(
+            loss=loss, ml_loss=jnp.asarray(0.0), aux_loss=aux_loss,
+            path_nodes=pathT, path_len=plenT, logits=None, actions=None,
+            entropy_sum=ent_acc, og_loss=jnp.asarray(0.0),
+            pred_obj=pred_objT, rl_loss=jnp.asarray(0.0))
+
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
     (stT, gmT, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc, ent_acc,
      _) = carry

@@ -82,6 +82,7 @@ def rollout_hamt(
     train_rl: bool = False,
     deterministic: bool = True,
     max_steps: int | None = None,
+    early_exit: bool = False,
 ) -> RolloutResult:
     if feedback in ("teacher", "argmax"):
         train_rl = False
@@ -236,6 +237,34 @@ def rollout_hamt(
     carry0 = (state0, hist_buf, hist_len, dtw_row0, last_dist0, last_ndtw0,
               jnp.zeros((B,), bool), jnp.full((B,), -1, jnp.int32),
               jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
+    if early_exit:
+        # inference-only: a while_loop stops as soon as every episode has
+        # ended (the reference's python `break`, agent_cmt.py:658-659),
+        # skipping ~half the per-step forwards vs the fixed-T scan.  No
+        # per-step ys are stacked, so this is not differentiable.
+        assert train_ml is None and not train_rl, \
+            "early_exit is for inference rollouts only"
+
+        def cond_fn(tc):
+            t, carry = tc
+            return (t < T) & jnp.any(~carry[0].ended)
+
+        def body_fn(tc):
+            t, carry = tc
+            carry, _ = step_fn(carry, t)
+            return t + 1, carry
+
+        _, carry = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0))
+        (stateT, _, _, _, _, _, _, midstop_pred, _, ent_acc, _) = carry
+        loss = (mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss
+                else jnp.asarray(0.0))
+        return RolloutResult(
+            loss=loss, ml_loss=jnp.asarray(0.0), rl_loss=jnp.asarray(0.0),
+            aux_loss=aux_loss, path_nodes=stateT.path_nodes,
+            path_len=stateT.path_len, logits=None, actions=None,
+            entropy_sum=ent_acc, midstop=midstop_pred)
+
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
     (stateT, hist_bufT, hist_lenT, _, _, _, _, midstop_pred, ml_acc,
      ent_acc, _) = carry
@@ -299,7 +328,7 @@ def make_eval_fn(model, critic, tables, cfg):
     def eval_fn(params, ep: EpisodeBatch, rng):
         res = rollout_hamt(model, critic, params, None, tables, ep, cfg, rng,
                            feedback="argmax", train_ml=None, train_rl=False,
-                           deterministic=True)
+                           deterministic=True, early_exit=True)
         return res.path_nodes, res.path_len
 
     return eval_fn

@@ -156,7 +156,8 @@ class HamtTrainer:
         def eval_step(params, ep: EpisodeBatch, rng):
             res = rollout_hamt(model, critic, params, None, tables, ep, cfg,
                                rng, feedback="argmax", train_ml=None,
-                               train_rl=False, deterministic=True)
+                               train_rl=False, deterministic=True,
+                               early_exit=True)
             return res.path_nodes, res.path_len
 
         return eval_step

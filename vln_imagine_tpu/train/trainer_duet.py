@@ -176,7 +176,7 @@ class DuetTrainer:
         def eval_step(params, ep: EpisodeBatch, rng):
             res = rollout_duet(model, params, tables, ep, cfg, rng,
                                feedback="argmax", train_ml=None,
-                               deterministic=True)
+                               deterministic=True, early_exit=True)
             return res.path_nodes, res.path_len
 
         return eval_step
