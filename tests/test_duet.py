@@ -144,3 +144,17 @@ def test_dagger_train_step(setup):
     deltas = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
                           state.params, state2.params)
     assert max(jax.tree.leaves(deltas)) > 0
+
+
+def test_expl_sample_rollout(setup):
+    """expl_sample (agent.py:555-565): greedy w/ random exploration; actions
+    stay within the valid action set and the rollout stays finite."""
+    cfg, _, world, ep, trainer, state = setup
+    res = rollout_duet(trainer.model, state.params, world, ep, cfg,
+                       jax.random.PRNGKey(5), feedback="expl_sample",
+                       train_ml=1.0, deterministic=True)
+    assert np.isfinite(float(res.ml_loss))
+    assert np.asarray(res.path_len).min() >= 1
+    # every recorded action is the stop slot or a valid gmap slot
+    acts = np.asarray(res.actions)
+    assert (acts >= 0).all() and (acts <= cfg.env.max_gmap_nodes).all()

@@ -140,8 +140,12 @@ class TrainConfig:
     entropy_loss_weight: float = 0.01
     normalize_loss: str = "total"  # total | batch | none
     ignoreid: int = -100
-    train_alg: str = "imitation"  # imitation | dagger (DUET), sample (HAMT IL+RL)
+    train_alg: str = "imitation"  # imitation | dagger | rl (DUET), sample (HAMT IL+RL)
     expert_policy: str = "spl"  # spl | ndtw (DUET teacher)
+    # DUET dagger exploration sampling (parser.py:19-20, agent.py:555-565):
+    # greedy action, replaced by a uniform valid action w.p. 1-expl_max_ratio
+    expl_sample: bool = False
+    expl_max_ratio: float = 0.6
     # Three-stage imagination warm-up (parser.py:112-113, main.py:200-278).
     experimental_warmup: bool = True
     experimental_warmup_type: str = "variant4"

@@ -353,6 +353,17 @@ def rollout_duet(
                 a_t = jnp.argmax(logp, -1).astype(jnp.int32)
             elif feedback == "sample":
                 a_t = jax.random.categorical(k_act, logp, -1).astype(jnp.int32)
+            elif feedback == "expl_sample":
+                # greedy action, replaced w.p. 1-expl_max_ratio by a uniform
+                # draw over the valid actions (agent.py:555-565)
+                k_expl, k_pick = jax.random.split(k_act)
+                a_greedy = jnp.argmax(logp, -1).astype(jnp.int32)
+                explore = (jax.random.uniform(k_expl, (B,))
+                           > tcfg.expl_max_ratio)
+                uni = jnp.where(valid_act, 0.0, LOGIT_NEG_INF)
+                a_rand = jax.random.categorical(k_pick, uni, -1
+                                                ).astype(jnp.int32)
+                a_t = jnp.where(explore, a_rand, a_greedy)
             else:
                 raise ValueError(feedback)
             logp_a = jnp.take_along_axis(logp, a_t[:, None], 1)[:, 0]

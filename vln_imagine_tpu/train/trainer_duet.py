@@ -107,8 +107,10 @@ class DuetTrainer:
                     loss += res_il.loss
                     metrics.update(ml_loss=res_il.ml_loss,
                                    aux_loss=res_il.aux_loss)
+                dg_fb = ("expl_sample" if cfg.train.expl_sample
+                         else "sample")  # agent_base.py:211
                 res_dg = rollout_duet(model, params, tables, ep_student, cfg,
-                                      r2, feedback="sample", train_ml=1.0,
+                                      r2, feedback=dg_fb, train_ml=1.0,
                                       deterministic=False)
                 loss += res_dg.loss
                 metrics.update(dagger_loss=res_dg.ml_loss,
