@@ -121,7 +121,7 @@ def test_rl_train_step(setup):
     trainer = DuetTrainer(cfg_rl, world)
     state = trainer.init_state(ep)
     assert state.critic_params is not None
-    step = trainer.make_train_step()
+    step = trainer.make_train_step(donate=False)
     state2, metrics = step(state, ep, ep, jax.random.PRNGKey(3))
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["rl_loss"]))
@@ -137,7 +137,7 @@ def test_rl_train_step(setup):
 
 def test_dagger_train_step(setup):
     cfg, _, world, ep, trainer, state = setup
-    step = trainer.make_train_step()
+    step = trainer.make_train_step(donate=False)
     state2, metrics = step(state, ep, ep, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0

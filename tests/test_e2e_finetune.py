@@ -59,7 +59,7 @@ def test_hamt_e2e_imagination_train_step(mode):
     trainer = HamtTrainer(cfg, world)
     state = trainer.init_state(ep)
     assert "imagine_vit" in state.params["params"]
-    step = trainer.make_train_step("sample")
+    step = trainer.make_train_step("sample", donate=False)
     state2, metrics = step(state, ep, ep, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0
@@ -94,7 +94,7 @@ def test_duet_e2e_imagination_train_step():
     trainer = DuetTrainer(cfg, world)
     state = trainer.init_state(ep)
     assert "imagine_vit" in state.params["params"]
-    step = trainer.make_train_step()
+    step = trainer.make_train_step(donate=False)
     state2, metrics = step(state, ep, ep, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert _vit_delta(state.params, state2.params) == 0.0

@@ -74,7 +74,7 @@ def test_aux_loss_zero_when_no_imaginations(setup):
 
 def test_train_step_updates_and_warmup_freeze(setup):
     cfg, _, world, ep, trainer, state = setup
-    step = trainer.make_train_step("sample")
+    step = trainer.make_train_step("sample", donate=False)
     state2, metrics = step(state, ep, ep, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["grad_norm"]) > 0

@@ -59,6 +59,9 @@ def test_mlm_masking_rules(hamt_pt):
 
 def test_hamt_pretrain_steps_and_validation(hamt_pt):
     pt, state = hamt_pt
+    # the train step donates its input state; train on a copy so the
+    # module-scoped fixture state stays alive for later tests
+    state = jax.tree.map(jnp.copy, state)
     state, summary = pt.train(state, num_steps=8, batch_size=3)
     assert all(np.isfinite(v) for v in summary.values())
     val = pt.validate(state, batch_size=3, num_batches=1)

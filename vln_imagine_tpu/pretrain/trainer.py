@@ -10,6 +10,7 @@ task id (pretrain_src/data/loader.py:56-59).
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Any, Callable
 
@@ -117,7 +118,8 @@ class BasePretrainer:
         model, tx = self.model, self.tx
         method = self._task_fn(task)
 
-        @jax.jit
+        # state donation: in-place param/opt-state update (see train/trainer.py)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: PretrainState, rng, *args):
             def loss_fn(params):
                 loss_sum, n, correct = model.apply(

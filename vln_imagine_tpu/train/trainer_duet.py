@@ -11,6 +11,7 @@ it is a working A2C (see rollout_duet).
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import jax
@@ -78,7 +79,7 @@ class DuetTrainer:
                               critic_params=critic_params,
                               critic_opt_state=critic_opt_state)
 
-    def make_train_step(self):
+    def make_train_step(self, donate: bool = True):
         cfg, model, tables = self.cfg, self.model, self.tables
         critic, critic_tx = self.critic, self.critic_tx
         tx = self.tx
@@ -136,8 +137,10 @@ class DuetTrainer:
                 raise ValueError(alg)
             return loss, metrics
 
+        donate_args = (0,) if donate else ()
         if alg == "rl":
-            @jax.jit
+            # state donation: in-place param/opt-state update (see trainer.py)
+            @functools.partial(jax.jit, donate_argnums=donate_args)
             def train_step(state: DuetTrainState, ep_il, ep_student, rng):
                 (loss, metrics), (g_model, g_critic) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True)(
@@ -156,7 +159,7 @@ class DuetTrainer:
                     critic_params=critic_params,
                     critic_opt_state=c_opt_state), metrics
         else:
-            @jax.jit
+            @functools.partial(jax.jit, donate_argnums=donate_args)
             def train_step(state: DuetTrainState, ep_il, ep_student, rng):
                 (loss, metrics), grads = jax.value_and_grad(
                     loss_fn, has_aux=True)(state.params, None, ep_il,
