@@ -39,6 +39,13 @@ def parse_args():
     p.add_argument("--imagine-features")
     p.add_argument("--sub-instr-file")
     p.add_argument("--generated-flag-file")
+    # on-the-fly ViT extraction of raw imagination images (BASELINE config 4)
+    p.add_argument("--e2e-imagination", choices=["off", "frozen", "trainable"],
+                   default="off")
+    p.add_argument("--imagine-image-bank",
+                   help=".npy of preprocessed images (RawImaginationImageBank)")
+    p.add_argument("--imagine-image-index",
+                   help="json {instr_id: [lo, hi]} row ranges into the bank")
     p.add_argument("--splits", nargs="+",
                    default=["train", "val_seen", "val_unseen"])
     p.add_argument("--resume")
@@ -63,7 +70,10 @@ def build_synthetic(cfg):
             max_instr_len=cfg.env.max_instr_len,
             max_imaginations=cfg.model.max_imagination_len,
             vocab_size=cfg.model.vocab_size,
-            feat_dim=cfg.model.hidden_size, seed=seed)
+            feat_dim=cfg.model.hidden_size, seed=seed,
+            imagine_image_size=(cfg.model.e2e_vit_image_size
+                                if cfg.model.e2e_imagination != "off"
+                                else None))
         return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
 
     return tables, split("train", 64, 1), [split("val_seen", 16, 2),
@@ -105,18 +115,35 @@ def build_real(cfg, args):
     imag_db = (ImaginationImageFeaturesDB(args.imagine_features,
                                           cfg.model.hidden_size)
                if args.imagine_features else None)
+    image_bank = None
+    if cfg.model.e2e_imagination != "off":
+        import json
+
+        from vln_imagine_tpu.data.features import RawImaginationImageBank
+        assert args.imagine_image_bank and args.imagine_image_index, (
+            "--e2e-imagination needs --imagine-image-bank and "
+            "--imagine-image-index")
+        with open(args.imagine_image_index) as f:
+            index = {k: tuple(v) for k, v in json.load(f).items()}
+        image_bank = RawImaginationImageBank(
+            args.imagine_image_bank, index, cfg.model.e2e_vit_image_size)
 
     def make_split(name):
         items = all_items[name]
-        imagine = None
-        if imag_db is not None and meta.generated_flags:
+        instr_ids = [it["instr_id"] for it in items]
+        imagine = images = None
+        if image_bank is not None and meta.generated_flags:
+            images, _ = image_bank.batch_images(
+                instr_ids, meta.generated_flags,
+                cfg.model.max_imagination_len)
+        elif imag_db is not None and meta.generated_flags:
             imagine, _ = build_imagination_arrays(
-                imag_db, [it["instr_id"] for it in items],
-                meta.generated_flags, cfg.model.max_imagination_len,
-                cfg.model.hidden_size)
+                imag_db, instr_ids, meta.generated_flags,
+                cfg.model.max_imagination_len, cfg.model.hidden_size)
         ep, ids = episodes_from_annotations(
             items, graphs, meta, cfg.env.max_instr_len,
-            cfg.env.max_gt_path_len, cfg.model.max_imagination_len, imagine)
+            cfg.env.max_gt_path_len, cfg.model.max_imagination_len, imagine,
+            imagine_images=images)
         return SplitData(name, ep, ids)
 
     train = make_split(args.splits[0])
@@ -142,6 +169,8 @@ def main():
             overrides[k] = v
     overrides["seed"] = args.seed
     cfg = _replace(cfg, "train", **overrides)
+    if args.e2e_imagination != "off":
+        cfg = _replace(cfg, "model", e2e_imagination=args.e2e_imagination)
 
     if args.synthetic:
         tables, train, vals = build_synthetic(cfg)

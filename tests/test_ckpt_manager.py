@@ -40,3 +40,18 @@ def test_snapshot_naming_and_best_iteration(tmp_path):
     assert "iter_4000_SR_67.26_SPL_62.02_val_unseen" in names
     assert mgr.best_iteration("val_unseen") == \
         "iter_4000_SR_67.26_SPL_62.02_val_unseen"
+
+
+def test_load_with_donated_template(tmp_path):
+    """Rollback after a donated train step: the in-memory template's buffers
+    are deleted (only shape/dtype metadata remains readable), and
+    load('latest_dict', dead_state) must still restore from disk."""
+    mgr = CheckpointManager(str(tmp_path))
+    st = _state(5.0)
+    mgr.save_latest(st)
+    for leaf in [st["params"]["a"], st["params"]["b"], st["step"]]:
+        leaf.delete()  # what donate_argnums does to the caller's arrays
+    back = mgr.load("latest_dict", st)
+    np.testing.assert_array_equal(np.asarray(back["params"]["a"]),
+                                  np.full((3, 2), 5.0))
+    assert int(back["step"]) == 5

@@ -134,3 +134,23 @@ def test_reverie_np_weights_uniform_over_tokens():
     np.testing.assert_allclose(w[0, 0], [1 / 3, 1 / 3, 1 / 3, 0])
     np.testing.assert_allclose(w[1, 0], [1, 0, 0, 0])
     assert (w[:, 1:] == 0).all()
+
+
+def test_raw_image_bank_scatter(tmp_path):
+    """RawImaginationImageBank.batch_images uses the same generated-flag
+    scatter as build_imagination_arrays (shared helper)."""
+    from vln_imagine_tpu.data.features import RawImaginationImageBank
+
+    hw = 4
+    bank = np.stack([np.full((hw, hw, 3), v, np.float32) for v in (1, 2, 3)])
+    path = str(tmp_path / "bank.npy")
+    np.save(path, bank)
+    index = {"i1": (0, 2), "i2": (2, 3)}
+    b = RawImaginationImageBank(path, index, image_size=hw)
+    flags = {"i1": ["True", "False", "True"], "i2": ["True"]}
+    imgs, mask = b.batch_images(["i1", "i2"], flags, max_imaginations=4)
+    np.testing.assert_array_equal(mask[0], [True, False, True, False])
+    np.testing.assert_array_equal(mask[1], [True, False, False, False])
+    assert imgs[0, 0, 0, 0, 0] == 1 and imgs[0, 2, 0, 0, 0] == 2
+    assert imgs[1, 0, 0, 0, 0] == 3
+    assert (imgs[0, 1] == 0).all()

@@ -117,7 +117,7 @@ def test_rl_train_step(setup):
     from vln_imagine_tpu.config import _replace
 
     cfg, _, world, ep, _, _ = setup
-    cfg_rl = _replace(cfg, "train", train_alg="rl")
+    cfg_rl = _replace(cfg, "train", train_alg="rl", gamma=0.9)
     trainer = DuetTrainer(cfg_rl, world)
     state = trainer.init_state(ep)
     assert state.critic_params is not None

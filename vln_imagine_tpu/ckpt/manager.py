@@ -93,7 +93,11 @@ def _graft(example: Any, restored: Any) -> Any:
     flat_re = jax.tree_util.tree_leaves(restored)
     assert len(flat_ex) == len(flat_re), (
         f"checkpoint has {len(flat_re)} leaves, expected {len(flat_ex)}")
-    cast = [np.asarray(r).astype(np.asarray(e).dtype)
+    # read only dtype metadata off the example: after a donated train step the
+    # in-memory state's buffers are deleted (data access raises), but shape /
+    # dtype stay readable, so rollback-from-checkpoint still works
+    cast = [np.asarray(r).astype(getattr(e, "dtype", None)
+                                 or np.asarray(e).dtype)
             for e, r in zip(flat_ex, flat_re)]
     return jax.tree_util.tree_unflatten(treedef, cast)
 

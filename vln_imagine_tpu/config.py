@@ -259,6 +259,8 @@ def tiny_test_config(agent: str = "hamt") -> Config:
         max_imagination_len=4, max_action_steps=16,
         hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
         pred_head_dropout_prob=0.0, compute_dtype="float32",
+        e2e_vit_image_size=16, e2e_vit_patch_size=8, e2e_vit_layers=2,
+        e2e_vit_heads=4,
     )
     cfg = _replace(
         cfg, "env",

@@ -104,22 +104,36 @@ class RawImaginationImageBank:
         """(images [B, I, H, W, 3], mask [B, I]) with the same sub-instruction
         slot scatter as build_imagination_arrays."""
         instr_ids = list(instr_ids)
-        B, I, hw = len(instr_ids), max_imaginations, self.image_size
-        imgs = np.zeros((B, I, hw, hw, 3), np.float32)
-        mask = np.zeros((B, I), bool)
-        for b, instr_id in enumerate(instr_ids):
-            flags = [f == "True" for f in generated_flags[instr_id]]
-            if not any(flags):
-                continue
-            raw = self.get_images(instr_id)
-            assert raw.shape[0] == sum(flags), instr_id
-            j = 0
-            for i, flag in enumerate(flags[:I]):
-                if flag:
-                    imgs[b, i] = raw[j]
-                    mask[b, i] = True
-                    j += 1
+        hw = self.image_size
+        imgs = np.zeros((len(instr_ids), max_imaginations, hw, hw, 3),
+                        np.float32)
+        mask = _scatter_by_flags(instr_ids, generated_flags, max_imaginations,
+                                 self.get_images, imgs)
         return imgs, mask
+
+
+def _scatter_by_flags(instr_ids, generated_flags, max_imaginations,
+                      get_rows, out: np.ndarray) -> np.ndarray:
+    """Scatter per-instruction rows into sub-instruction slots whose
+    generated-flag is 'True' (agent_cmt.py:247-313
+    `_create_diffusion_imaginations_v2`); fills `out[b, i]` in place and
+    returns the [B, I] validity mask."""
+    mask = np.zeros(out.shape[:2], bool)
+    for b, instr_id in enumerate(instr_ids):
+        flags = [f == "True" for f in generated_flags[instr_id]]
+        if not any(flags):
+            continue
+        rows = get_rows(instr_id)
+        assert rows.shape[0] == sum(flags), (
+            f"{instr_id}: {rows.shape[0]} imaginations vs "
+            f"{sum(flags)} generated flags")
+        j = 0
+        for i, flag in enumerate(flags[:max_imaginations]):
+            if flag:
+                out[b, i] = rows[j]
+                mask[b, i] = True
+                j += 1
+    return mask
 
 
 def build_imagination_arrays(
@@ -132,21 +146,8 @@ def build_imagination_arrays(
 
     Returns (feats [B, I, D], mask [B, I])."""
     instr_ids = list(instr_ids)
-    B, I = len(instr_ids), max_imaginations
-    feats = np.zeros((B, I, feat_dim), np.float32)
-    mask = np.zeros((B, I), bool)
-    for b, instr_id in enumerate(instr_ids):
-        flags = [f == "True" for f in generated_flags[instr_id]]
-        if not any(flags):
-            continue
-        ft = db.get_image_feature(instr_id)
-        assert ft.shape[0] == sum(flags), (
-            f"{instr_id}: {ft.shape[0]} imaginations vs "
-            f"{sum(flags)} generated flags")
-        j = 0
-        for i, flag in enumerate(flags[:I]):
-            if flag:
-                feats[b, i] = ft[j][:feat_dim]
-                mask[b, i] = True
-                j += 1
+    feats = np.zeros((len(instr_ids), max_imaginations, feat_dim), np.float32)
+    mask = _scatter_by_flags(
+        instr_ids, generated_flags, max_imaginations,
+        lambda iid: db.get_image_feature(iid)[:, :feat_dim], feats)
     return feats, mask

@@ -101,6 +101,9 @@ def make_imagine_vit(model_cfg) -> "VisionTransformer":
     """ViT submodule for in-step imagination feature extraction
     (ModelConfig.e2e_imagination).  Hidden size tracks the navigator's so the
     class token feeds BypassImagineEmbeddings directly."""
+    assert model_cfg.hidden_size % model_cfg.e2e_vit_heads == 0, (
+        f"e2e_vit_heads={model_cfg.e2e_vit_heads} must divide "
+        f"hidden_size={model_cfg.hidden_size}")
     return VisionTransformer(ViTConfig(
         image_size=model_cfg.e2e_vit_image_size,
         patch_size=model_cfg.e2e_vit_patch_size,

@@ -83,9 +83,12 @@ class BasePretrainer:
     task_args: dict[str, tuple]
     model_cls: type
 
-    def __init__(self, cfg: Config):
+    def __init__(self, cfg: Config, donate: bool = True):
         pcfg = cfg.pretrain
         self.cfg = cfg
+        # donate=False keeps input states alive for callers that reuse them
+        # (mirrors make_train_step's escape hatch in train/trainer.py)
+        self.donate = donate
         self.sampler = MetaSampler(pcfg.tasks, pcfg.mix_ratio, pcfg.seed)
         self.tx = pretrain_optimizer(pcfg.lr, pcfg.warmup_steps,
                                      pcfg.num_train_steps,
@@ -119,7 +122,8 @@ class BasePretrainer:
         method = self._task_fn(task)
 
         # state donation: in-place param/opt-state update (see train/trainer.py)
-        @functools.partial(jax.jit, donate_argnums=(0,))
+        @functools.partial(jax.jit,
+                           donate_argnums=(0,) if self.donate else ())
         def step(state: PretrainState, rng, *args):
             def loss_fn(params):
                 loss_sum, n, correct = model.apply(
@@ -204,8 +208,9 @@ class HamtPretrainer(BasePretrainer):
     model_cls = HamtPretrainModel
 
     def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
-                 image_prob_size: int = 64, seed: int | None = None):
-        super().__init__(cfg)
+                 image_prob_size: int = 64, seed: int | None = None,
+                 donate: bool = True):
+        super().__init__(cfg, donate=donate)
         self.model = HamtPretrainModel(cfg.model,
                                        image_prob_size=image_prob_size,
                                        tasks=tuple(cfg.pretrain.tasks))
@@ -224,11 +229,12 @@ class DuetPretrainer(BasePretrainer):
     task_args = DUET_TASK_ARGS
 
     def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
-                 image_prob_size: int = 64, seed: int | None = None):
+                 image_prob_size: int = 64, seed: int | None = None,
+                 donate: bool = True):
         from vln_imagine_tpu.pretrain.duet_data import DuetTrajectoryBatcher
         from vln_imagine_tpu.pretrain.duet_model import DuetPretrainModel
 
-        super().__init__(cfg)
+        super().__init__(cfg, donate=donate)
         self.model_cls = DuetPretrainModel
         self.model = DuetPretrainModel(cfg.model,
                                        image_prob_size=image_prob_size,

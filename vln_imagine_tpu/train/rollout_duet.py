@@ -116,6 +116,11 @@ def rollout_duet(
     if mcfg.imagine_enc_pano:
         imag_in = (ep.imagine_images if mcfg.e2e_imagination != "off"
                    else ep.imagine_feats)
+        if imag_in is None:
+            raise ValueError(
+                "e2e_imagination is on but EpisodeBatch.imagine_images is "
+                "None — load raw images (RawImaginationImageBank / "
+                "synthetic_episodes(imagine_image_size=...))")
         imagine_embeds = apply(DuetModel.imagine, imag_in, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
             aux_loss, imagine_embeds = apply(

@@ -86,6 +86,12 @@ class DuetTrainer:
         assert tx is not None
         alg = cfg.train.train_alg
         ml_w = cfg.train.ml_weight
+        if alg == "rl" and cfg.train.gamma == 0.0:
+            # the DUET presets inherit gamma=0 from the released dagger
+            # config; with it the A2C returns collapse to one-step rewards
+            raise ValueError(
+                "train_alg='rl' needs a nonzero discount: set "
+                "cfg.train.gamma (HAMT uses 0.9)")
         t_il = (cfg.env.max_action_len if cfg.dataset == "cvdn"
                 else min(cfg.env.max_gt_path_len, cfg.env.max_action_len))
 
