@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Pre-training entry point (the reference's VLN-HAMT/pretrain_src/main_r2r.py
+and VLN-DUET/pretrain_src/train_r2r.py drivers).
+
+Task-mixing proxy-task pre-training over stored trajectories: HAMT runs the
+6-task mix (mlm/sap/sar/sprel/mrc/itm 5:1:1:1:2:2, config/pretrain_r2r.json),
+DUET the 3-task mix (mlm/mrc/sap 1:1:1, config/r2r_pretrain.json).  Model
+snapshots (`model_step_<N>`, the reference's ModelSaver naming,
+pretrain_src/utils/save.py:23-46) can be grafted into fine-tuning with
+ckpt.transfer.init_finetune_from_pretrain.
+
+Real data:
+  python scripts/pretrain.py --agent hamt --connectivity-dir .../connectivity \\
+      --anno-dir .../annotations --img-features .../vit_features.hdf5 \\
+      --steps 200000
+
+Synthetic smoke run (no datasets needed):
+  python scripts/pretrain.py --agent hamt --synthetic --steps 50 \\
+      --log-steps 10 --valid-steps 25
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--agent", choices=["hamt", "duet"], default="hamt")
+    p.add_argument("--dataset", default="r2r",
+                   choices=["r2r", "r4r", "rxr", "reverie", "soon"])
+    p.add_argument("--log-dir", default="logs/pretrain")
+    p.add_argument("--steps", type=int, default=None,
+                   help="total optimizer steps (default: config budget)")
+    p.add_argument("--log-steps", type=int, default=None)
+    p.add_argument("--valid-steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--tasks", nargs="+", default=None,
+                   help="override task list, e.g. --tasks mlm sap")
+    p.add_argument("--mix-ratio", nargs="+", type=int, default=None)
+    p.add_argument("--image-prob-size", type=int, default=1000,
+                   help="ViT class-prob size for MRC soft labels "
+                        "(r2r_model_config.json image_prob_size)")
+    # data
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--connectivity-dir")
+    p.add_argument("--anno-dir")
+    p.add_argument("--img-features")
+    p.add_argument("--split", default="train")
+    p.add_argument("--resume")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
+        tiny_test_config, _replace
+    from vln_imagine_tpu.utils.logger import write_to_record_file
+
+    if args.synthetic:
+        cfg = tiny_test_config(args.agent)
+    else:
+        cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
+    cfg = cfg.replace(dataset=args.dataset)
+    if args.agent == "duet":
+        # DUET pretrain task set (r2r_pretrain.json:43-50)
+        cfg = _replace(cfg, "pretrain", tasks=("mlm", "mrc", "sap"),
+                       mix_ratio=(1, 1, 1), batch_size=64,
+                       num_train_steps=100_000)
+    overrides = {"seed": args.seed}
+    if args.steps is not None:
+        overrides["num_train_steps"] = args.steps
+    if args.log_steps is not None:
+        overrides["log_steps"] = args.log_steps
+    if args.valid_steps is not None:
+        overrides["valid_steps"] = args.valid_steps
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["lr"] = args.lr
+    if args.tasks is not None:
+        overrides["tasks"] = tuple(args.tasks)
+        overrides["mix_ratio"] = tuple(
+            args.mix_ratio or [1] * len(args.tasks))
+    elif args.mix_ratio is not None:
+        overrides["mix_ratio"] = tuple(args.mix_ratio)
+    cfg = _replace(cfg, "pretrain", **overrides)
+
+    # trajectory source: the train-split episodes over the compiled world
+    # (MultiStepNavData loads the same annotations offline, r2r_data.py:95)
+    from train import build_real, build_synthetic  # sibling scripts/train.py
+    if args.synthetic:
+        tables, train, _ = build_synthetic(cfg)
+    else:
+        args.splits = [args.split]
+        args.imagine_features = None
+        args.sub_instr_file = getattr(args, "sub_instr_file", None)
+        args.generated_flag_file = getattr(args, "generated_flag_file", None)
+        tables, train, _ = build_real(cfg, args)
+
+    from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
+    cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer
+    pt = cls(cfg, tables, train.episodes,
+             image_prob_size=args.image_prob_size, seed=args.seed)
+    state = pt.init_state()
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    import orbax.checkpoint as ocp
+    import jax
+    import numpy as np
+    ckpt = ocp.PyTreeCheckpointer()
+    if args.resume:
+        from vln_imagine_tpu.ckpt.manager import _graft
+        state = _graft(state, ckpt.restore(os.path.abspath(args.resume)))
+    record = os.path.join(args.log_dir, "pretrain.txt")
+
+    def log(msg):
+        write_to_record_file(str(msg), record)
+
+    pcfg = cfg.pretrain
+    done = int(state.step)
+    while done < pcfg.num_train_steps:
+        chunk = min(pcfg.valid_steps, pcfg.num_train_steps - done)
+        state, summary = pt.train(state, chunk, log_every=pcfg.log_steps,
+                                  log_fn=log)
+        done = int(state.step)
+        metrics = pt.validate(state)
+        log(f"valid @ step {done}: "
+            + "  ".join(f"{t} loss={m['loss']:.4f} acc={m['acc']:.4f}"
+                        for t, m in metrics.items()))
+        path = os.path.join(os.path.abspath(args.log_dir),
+                            f"model_step_{done}")
+        ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+        log(f"saved {path}")
+
+
+if __name__ == "__main__":
+    main()

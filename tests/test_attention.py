@@ -94,3 +94,74 @@ def test_fused_attention_falls_back_on_cpu():
     out = A.fused_attention(q, k, v, bias, 0.125)
     want = A.reference_attention(q, k, v, bias, 0.125)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-6)
+
+
+# --------------------------------------------------------------- dropout path
+# The TPU PRNG does not lower in CPU interpreter mode, so these run the
+# dropout kernels with the deterministic position-hash bits source
+# (A._hash_mask_bits) — identical kernel math, including the backward pass
+# regenerating the mask instead of loading it.
+
+def _dropout_oracle(q, k, v, bias, scale, rate):
+    """Per-batch-cell unfused attention with the same hash mask."""
+    outs = []
+    for b in range(q.shape[0]):
+        s = jnp.einsum("hqd,hkd->hqk", q[b].astype(jnp.float32),
+                       k[b].astype(jnp.float32)) * scale
+        s = s + bias[b].astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1)
+        p = p * A._dropout_mask(p.shape, rate, A._hash_mask_bits)
+        outs.append(jnp.einsum("hqk,hkd->hqd", p, v[b].astype(jnp.float32)))
+    return jnp.stack(outs).astype(q.dtype)
+
+
+def test_dropout_kernel_forward_matches_oracle_interpret():
+    q, k, v, bias = _case()
+    bias = jnp.broadcast_to(bias, (q.shape[0], 1, q.shape[2], k.shape[2]))
+    scale, rate = 1.0 / np.sqrt(q.shape[-1]), 0.25
+    seed = jnp.asarray([7], jnp.int32)
+    got, _ = A._pallas_attention_dropout_fwd(
+        q, k, v, bias, seed, scale, rate,
+        bits_fn=A._hash_mask_bits, interpret=True)
+    want = _dropout_oracle(q, k, v, bias, scale, rate)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_kernel_zero_rate_matches_plain_kernel_interpret():
+    q, k, v, bias = _case(seed=5)
+    bias = jnp.broadcast_to(bias, (q.shape[0], 1, q.shape[2], k.shape[2]))
+    scale = 0.125
+    seed = jnp.asarray([3], jnp.int32)
+    got, _ = A._pallas_attention_dropout_fwd(
+        q, k, v, bias, seed, scale, 0.0,
+        bits_fn=A._hash_mask_bits, interpret=True)
+    want = _interp_forward(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_dropout_kernel_backward_matches_autodiff_interpret():
+    q, k, v, bias = _case(B=2, H=2, Lq=6, Lk=5, D=32, seed=9)
+    bias = jnp.broadcast_to(bias, (q.shape[0], 2, q.shape[2], k.shape[2]))
+    scale, rate = 1.0 / np.sqrt(q.shape[-1]), 0.25
+    seed = jnp.asarray([11], jnp.int32)
+    rng = np.random.default_rng(2)
+    g = jnp.asarray(rng.standard_normal(q.shape), jnp.float32)
+
+    res = (q, k, v, bias, seed)
+    dq, dk, dv, _, _ = A._pallas_attention_dropout_bwd(
+        scale, rate, res, g, bits_fn=A._hash_mask_bits, interpret=True)
+    want = jax.vjp(
+        lambda q, k, v: _dropout_oracle(q, k, v, bias, scale, rate),
+        q, k, v)[1](g)
+    for a, b, n in zip((dq, dk, dv), want, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5, err_msg=f"d{n}")
+
+
+def test_hash_mask_keep_rate():
+    m = np.asarray(A._dropout_mask((8, 32, 128), 0.3, A._hash_mask_bits))
+    keep = (m > 0).mean()
+    assert abs(keep - 0.7) < 0.02
+    np.testing.assert_allclose(m[m > 0], 1.0 / 0.7, rtol=1e-6)

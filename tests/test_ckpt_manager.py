@@ -42,6 +42,48 @@ def test_snapshot_naming_and_best_iteration(tmp_path):
         "iter_4000_SR_67.26_SPL_62.02_val_unseen"
 
 
+def test_roundtrip_dataclass_state_with_optax(tmp_path):
+    """TrainState-shaped restore: orbax returns field-name dicts for
+    dataclasses/NamedTuples, whose flatten order differs from declaration
+    order — a leaf-order zip scrambles step/params/opt_state silently
+    (regression test for the structural _graft)."""
+    import optax
+    from flax import struct
+    from typing import Any
+
+    @struct.dataclass
+    class TS:
+        step: Any
+        params: Any
+        opt_state: Any
+        critic_params: Any
+        critic_opt_state: Any
+
+    def make(v):
+        params = {"params": {"w": jnp.full((2, 2), v), "b": jnp.full((3,), v + 1)}}
+        cparams = {"params": {"w": jnp.full((2, 2), v + 2)}}
+        tx = optax.chain(optax.clip_by_global_norm(40.0), optax.adamw(1e-3))
+        ctx = optax.adamw(1e-3)
+        return TS(step=jnp.asarray(int(v), jnp.int32), params=params,
+                  opt_state=tx.init(params), critic_params=cparams,
+                  critic_opt_state=ctx.init(cparams))
+
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_latest(make(7.0))
+    back = mgr.load("latest_dict", make(0.0))
+    assert int(back.step) == 7
+    np.testing.assert_array_equal(np.asarray(back.params["params"]["w"]),
+                                  np.full((2, 2), 7.0))
+    np.testing.assert_array_equal(np.asarray(back.params["params"]["b"]),
+                                  np.full((3,), 8.0))
+    np.testing.assert_array_equal(
+        np.asarray(back.critic_params["params"]["w"]), np.full((2, 2), 9.0))
+    # optimizer moments land in the right slots (zeros from init at save time)
+    adam = back.opt_state[1][0]
+    np.testing.assert_array_equal(np.asarray(adam.mu["params"]["w"]),
+                                  np.zeros((2, 2)))
+
+
 def test_load_with_donated_template(tmp_path):
     """Rollback after a donated train step: the in-memory template's buffers
     are deleted (only shape/dtype metadata remains readable), and

@@ -87,19 +87,49 @@ class CheckpointManager:
 
 
 def _graft(example: Any, restored: Any) -> Any:
-    """Shape restored arrays onto the example pytree structure (orbax returns
-    plain nested dicts)."""
-    flat_ex, treedef = jax.tree_util.tree_flatten(example)
-    flat_re = jax.tree_util.tree_leaves(restored)
-    assert len(flat_ex) == len(flat_re), (
-        f"checkpoint has {len(flat_re)} leaves, expected {len(flat_ex)}")
-    # read only dtype metadata off the example: after a donated train step the
-    # in-memory state's buffers are deleted (data access raises), but shape /
-    # dtype stay readable, so rollback-from-checkpoint still works
-    cast = [np.asarray(r).astype(getattr(e, "dtype", None)
-                                 or np.asarray(e).dtype)
-            for e, r in zip(flat_ex, flat_re)]
-    return jax.tree_util.tree_unflatten(treedef, cast)
+    """Shape restored arrays onto the example pytree structure.
+
+    Orbax restores plain nested containers: dataclasses (TrainState,
+    PretrainState) and NamedTuples (optax states) come back as dicts keyed by
+    field name, tuples/lists as lists, zero-leaf nodes (optax EmptyState) as
+    None.  A flatten-order zip would silently scramble leaves — dict keys
+    flatten sorted while dataclass fields flatten in declaration order — so
+    walk the two trees structurally instead.
+
+    Only dtype metadata is read off example leaves: after a donated train
+    step the in-memory state's buffers are deleted (data access raises), but
+    shape/dtype stay readable, so rollback-from-checkpoint still works.
+    """
+    import dataclasses
+    from collections.abc import Mapping
+
+    if example is None:
+        return None
+    if restored is None:
+        # zero-leaf subtree (e.g. optax EmptyState): nothing stored on disk
+        return example
+    if isinstance(example, Mapping):
+        out = {k: _graft(v, restored[k]) for k, v in example.items()}
+        return out if isinstance(example, dict) else type(example)(out)
+    if dataclasses.is_dataclass(example) and not isinstance(example, type):
+        kw = {f.name: _graft(getattr(example, f.name), restored[f.name])
+              for f in dataclasses.fields(example)}
+        return dataclasses.replace(example, **kw)
+    if isinstance(example, tuple) and hasattr(example, "_fields"):
+        # NamedTuple (optax states): stored as a field-name dict
+        get = (restored.__getitem__ if isinstance(restored, Mapping)
+               else lambda f: restored[example._fields.index(f)])
+        return type(example)(*[_graft(getattr(example, f), get(f))
+                               for f in example._fields])
+    if isinstance(example, (list, tuple)):
+        assert len(example) == len(restored), (
+            f"checkpoint node has {len(restored)} entries, "
+            f"expected {len(example)}")
+        vals = [_graft(e, r) for e, r in zip(example, restored)]
+        return type(example)(vals)
+    dtype = getattr(example, "dtype", None)
+    arr = np.asarray(restored)
+    return arr.astype(dtype) if dtype is not None else arr
 
 
 def load_reference_checkpoint(path: str, agent: str = "hamt"):

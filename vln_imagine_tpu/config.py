@@ -97,12 +97,12 @@ class ModelConfig:
 
     # Numerics: params always f32; matmul/attention compute dtype.
     compute_dtype: str = "bfloat16"
-    # Fused pallas attention (TPU only; used when attention dropout is off,
-    # i.e. eval/serving, or attention_probs_dropout_prob == 0).  Measured ~6%
-    # faster than the XLA path on the attention op at reference shapes, but
-    # compilation of the many per-shape kernel instances in the rollout can
-    # dominate on cold caches, so it is opt-in.
-    use_pallas_attention: bool = False
+    # Fused pallas attention (TPU only; self-gates on backend + shape
+    # support and falls back to the XLA path elsewhere).  Measured ~7%
+    # faster end-to-end greedy-eval throughput at reference shapes (bs 8,
+    # 370 vs 345 eps/s on v5e); the persistent compile cache amortizes the
+    # extra per-shape kernel compiles.
+    use_pallas_attention: bool = True
 
     @property
     def head_dim(self) -> int:

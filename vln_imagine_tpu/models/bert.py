@@ -87,10 +87,16 @@ class MHAttention(nn.Module):
             return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
 
         drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
-        if cfg.use_pallas_attention and not drop_active:
+        if cfg.use_pallas_attention:
+            # dropout-active calls stay fused: the kernel draws the probs-
+            # dropout mask from the TPU per-core PRNG (ops/attention.py)
             from vln_imagine_tpu.ops.attention import fused_attention
-            ctx = fused_attention(split(q), split(k), split(v), bias,
-                                  1.0 / (d ** 0.5))
+            rng = self.make_rng("dropout") if drop_active else None
+            ctx = fused_attention(
+                split(q), split(k), split(v), bias, 1.0 / (d ** 0.5),
+                dropout_rate=(cfg.attention_probs_dropout_prob
+                              if drop_active else 0.0),
+                dropout_rng=rng)
         else:
             rng = self.make_rng("dropout") if drop_active else None
             ctx, _ = attention_core(
