@@ -146,6 +146,16 @@ class TrainConfig:
     # greedy action, replaced by a uniform valid action w.p. 1-expl_max_ratio
     expl_sample: bool = False
     expl_max_ratio: float = 0.6
+    # Pack the teacher-forced IL half and the sampled (RL) half of a train
+    # step into ONE fused rollout of batch 2B instead of two sequential
+    # batch-B rollouts.  The losses are numerically identical per half (aux
+    # loss normalizes per half, CE/RL mask the other half).  Off by default:
+    # at R2R shapes the separate IL rollout scans only max_gt_path_len (8)
+    # steps while the fused rollout must scan the full RL horizon (15) for
+    # everything, and the measured step time is 184ms fused vs 164ms
+    # separate (bs 8, v5e).  Worth enabling only when the IL and RL horizons
+    # are close (e.g. cvdn, where the IL scan already runs max_action_len).
+    fused_sample_rollout: bool = False
     # Three-stage imagination warm-up (parser.py:112-113, main.py:200-278).
     experimental_warmup: bool = True
     experimental_warmup_type: str = "variant4"

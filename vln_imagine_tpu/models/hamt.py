@@ -157,7 +157,7 @@ class ImagineEmbeddings(nn.Module):
 
 
 def contrastive_alignment_loss(proj, mean_np, valid, aux_loss_type="cosine",
-                               temperature=0.3, margin=1.0):
+                               temperature=0.3, margin=1.0, groups=None):
     """Imagination-text alignment losses over [B, I, H] projections.
 
     - 'cosine': mean over valid rows of 1 - cos(proj, mean_np)
@@ -166,6 +166,13 @@ def contrastive_alignment_loss(proj, mean_np, valid, aux_loss_type="cosine",
       negatives at `temperature` (compute_contrastive_loss_infonce :793-823)
     - 'margin': pos loss + mean hinge(margin + neg_sim - pos_sim)
       (compute_contrastive_loss_margin :825-856)
+
+    groups: optional [B] i32 labels for fused multi-rollout batches (e.g. the
+    IL and RL halves of one train step packed into one batch).  The loss is
+    then the SUM of each group's independently normalized loss, and
+    contrastive negatives are restricted to the same group — exactly what two
+    separate per-rollout calls would produce (the reference runs the aux loss
+    once per rollout and accumulates, agent_cmt.py:437-462).
     """
     B, I, _ = proj.shape
     f32 = jnp.float32
@@ -177,15 +184,27 @@ def contrastive_alignment_loss(proj, mean_np, valid, aux_loss_type="cosine",
 
     pn, mn = unit(proj), unit(mean_np)
     pos_sim = jnp.sum(pn * mn, axis=-1)                    # [B, I]
-    count = jnp.maximum(jnp.sum(valid), 1)
+
+    def grouped_mean(per_row):                             # [B, I] -> scalar
+        if groups is None:
+            return jnp.sum(per_row * valid) / jnp.maximum(jnp.sum(valid), 1)
+        total = jnp.asarray(0.0, f32)
+        for g in (0, 1):
+            in_g = (groups == g)[:, None] & (valid > 0)
+            total = total + jnp.sum(jnp.where(in_g, per_row, 0.0)) \
+                / jnp.maximum(jnp.sum(in_g), 1)
+        return total
 
     if aux_loss_type == "cosine":
-        return jnp.sum((1.0 - pos_sim) * valid) / count
+        return grouped_mean(1.0 - pos_sim)
 
     # similarity of every projection to every batch item's noun-phrase means
     sim = jnp.einsum("bih,cjh->bicj", pn, mn)              # [B, I, B, I]
-    # negatives: valid rows of *other* batch items (vilmodel_cmt.py:907)
+    # negatives: valid rows of *other* batch items (vilmodel_cmt.py:907),
+    # same-group only when a fused batch carries group labels
     other = (jnp.arange(B)[:, None] != jnp.arange(B)[None, :])  # [B, C]
+    if groups is not None:
+        other = other & (groups[:, None] == groups[None, :])
     neg_mask = other[:, None, :, None] & valid[None, None, :, :]
     neg_mask = jnp.broadcast_to(neg_mask, sim.shape)
 
@@ -196,14 +215,12 @@ def contrastive_alignment_loss(proj, mean_np, valid, aux_loss_type="cosine",
         all_logits = jnp.concatenate([logits_pos[..., None], flat_neg], -1)
         m = jnp.max(all_logits, axis=-1, keepdims=True)
         lse = m[..., 0] + jnp.log(jnp.sum(jnp.exp(all_logits - m), -1))
-        ce = lse - logits_pos
-        return jnp.sum(ce * valid) / count
+        return grouped_mean(lse - logits_pos)
     if aux_loss_type == "margin":
         hinge = jnp.maximum(margin + sim - pos_sim[:, :, None, None], 0.0)
         n_neg = jnp.maximum(jnp.sum(neg_mask, axis=(2, 3)), 1)
         neg_loss = jnp.sum(jnp.where(neg_mask, hinge, 0.0), (2, 3)) / n_neg
-        per = (1.0 - pos_sim) + neg_loss
-        return jnp.sum(per * valid) / count
+        return grouped_mean((1.0 - pos_sim) + neg_loss)
     raise ValueError(aux_loss_type)
 
 
@@ -306,7 +323,7 @@ class HamtModel(nn.Module):
 
     def align_with_contrastive_loss(self, txt_embeds, txt_mask, imagine_embeds,
                                     imagine_mask, np_weights,
-                                    deterministic=True):
+                                    deterministic=True, groups=None):
         """Alignment of projected imagination embeddings to the mean
         noun-phrase token embedding of their sub-instruction, as one matmul.
 
@@ -330,7 +347,7 @@ class HamtModel(nn.Module):
         loss = contrastive_alignment_loss(
             proj, mean_np, valid, self.config.aux_loss_type,
             self.config.infonce_temperature,
-            self.config.contrastive_margin_value)
+            self.config.contrastive_margin_value, groups=groups)
         new_imagine = jnp.where(valid[:, :, None], proj, imagine_embeds)
         return loss, new_imagine
 

@@ -50,8 +50,12 @@ class RolloutResult(NamedTuple):
     midstop: jnp.ndarray = None  # [B] i32 declared midstop (r2r_back; -1 none)
 
 
-def _select_action(logits, valid, teacher, feedback: str, rng):
-    """Action slot per feedback mode (agent_cmt.py:560-577)."""
+def _select_action(logits, valid, teacher, feedback: str, rng, il_mask=None):
+    """Action slot per feedback mode (agent_cmt.py:560-577).
+
+    'mixed' packs a teacher-forced IL half and a sampled RL half into one
+    fused batch: items with il_mask take the teacher action, the rest
+    sample (one rollout instead of two sequential ones per train step)."""
     if feedback == "teacher":
         return teacher, jnp.zeros(logits.shape[:1]), jnp.zeros(logits.shape[:1])
     logp = jax.nn.log_softmax(
@@ -62,9 +66,13 @@ def _select_action(logits, valid, teacher, feedback: str, rng):
         a = jnp.argmax(logp, axis=-1)
     elif feedback == "sample":
         a = jax.random.categorical(rng, logp, axis=-1)
+    elif feedback == "mixed":
+        a = jnp.where(il_mask, teacher,
+                      jax.random.categorical(rng, logp, axis=-1))
     else:
         raise ValueError(feedback)
-    chosen_logp = jnp.take_along_axis(logp, a[:, None], axis=1)[:, 0]
+    chosen_logp = jnp.take_along_axis(
+        logp, jnp.clip(a, 0, logp.shape[1] - 1)[:, None], axis=1)[:, 0]
     return a.astype(jnp.int32), chosen_logp, entropy
 
 
@@ -83,9 +91,15 @@ def rollout_hamt(
     deterministic: bool = True,
     max_steps: int | None = None,
     early_exit: bool = False,
+    il_mask: jax.Array | None = None,
 ) -> RolloutResult:
     if feedback in ("teacher", "argmax"):
         train_rl = False
+    if feedback == "mixed":
+        assert il_mask is not None, "feedback='mixed' needs il_mask"
+    else:
+        il_mask = None
+    il_m = il_mask  # [B] bool: True = teacher-forced IL item (fused batch)
     mcfg, tcfg, ecfg = cfg.model, cfg.train, cfg.env
     B = ep.batch
     T = max_steps or ecfg.max_action_len
@@ -120,10 +134,14 @@ def rollout_hamt(
         imagine_embeds = apply(HamtModel.imagine, imag_in,
                                ep.imagine_mask, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
+            # fused batches: per-half normalization + same-half negatives,
+            # reproducing the reference's one-aux-call-per-rollout accumulation
+            groups = (None if il_m is None
+                      else (~il_m).astype(jnp.int32))
             aux_loss, imagine_embeds = apply(
                 HamtModel.align_with_contrastive_loss, txt_embeds, ep.txt_mask,
                 imagine_embeds, ep.imagine_mask, ep.np_weights,
-                rngs_key=r_align)
+                rngs_key=r_align, groups=groups)
 
     h0 = apply(HamtModel.history_initial, B, rngs_key=r_hist0)
     hist_buf = jnp.zeros((B, T + 1, mcfg.hidden_size), h0.dtype)
@@ -160,12 +178,16 @@ def rollout_hamt(
             logp = jax.nn.log_softmax(out.act_logits.astype(jnp.float32), -1)
             tgt = jnp.clip(teacher, 0, logp.shape[1] - 1)
             ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
-            ml_acc = ml_acc + jnp.sum(jnp.where(teacher == ignore, 0.0, ce))
+            ce_skip = teacher == ignore
+            if il_m is not None:
+                ce_skip = ce_skip | ~il_m   # CE supervises the IL half only
+            ml_acc = ml_acc + jnp.sum(jnp.where(ce_skip, 0.0, ce))
 
         a_t, logp_a, entropy = _select_action(
             out.act_logits, (obs.nav_types != 0) & obs.valid, teacher,
-            feedback, k_act)
-        ent_acc = ent_acc + jnp.sum(jnp.where(st.ended, 0.0, entropy))
+            feedback, k_act, il_mask=il_m)
+        ent_skip = st.ended if il_m is None else (st.ended | il_m)
+        ent_acc = ent_acc + jnp.sum(jnp.where(ent_skip, 0.0, entropy))
 
         # stop selected this step / teacher says ignore
         stop_sel = ((a_t == obs.stop_slot) | (a_t == ignore)) & ~st.ended
@@ -229,6 +251,9 @@ def rollout_hamt(
         else:
             reward = jnp.zeros((B,))
         mask = jnp.where(ended_pre, 0.0, 1.0)
+        if il_m is not None:
+            # RL terms (policy/critic/entropy) cover the sampled half only
+            mask = mask * (~il_m)
         first_ended = first_ended | stop_sel
 
         carry = (st2, h_buf, h_len, dtw_row, last_dist, last_ndtw,
@@ -278,7 +303,10 @@ def rollout_hamt(
     ml_loss = jnp.asarray(0.0)
     loss = mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss else jnp.asarray(0.0)
     if train_ml is not None:
-        ml_loss = ml_acc * train_ml / B
+        # per-rollout batch normalization (agent_cmt.py:747): in a fused
+        # batch the CE divides by the IL half's size, not the full batch
+        n_il = B if il_m is None else jnp.maximum(jnp.sum(il_m), 1)
+        ml_loss = ml_acc * train_ml / n_il
         loss = loss + ml_loss
 
     rl_loss = jnp.asarray(0.0)
@@ -309,14 +337,15 @@ def rollout_hamt(
         _, step_losses = jax.lax.scan(
             a2c_step, discount0, (logps, states, rewards, masks), reverse=True)
         rl_loss = jnp.sum(step_losses)
-        if feedback == "sample":
+        if feedback in ("sample", "mixed"):
             rl_loss = rl_loss + jnp.sum(
                 -tcfg.entropy_loss_weight * entropys * masks)
         total = jnp.sum(masks)
+        n_rl = B if il_m is None else jnp.maximum(jnp.sum(~il_m), 1)
         if tcfg.normalize_loss == "total":
             rl_loss = rl_loss / jnp.maximum(total, 1.0)
         elif tcfg.normalize_loss == "batch":
-            rl_loss = rl_loss / B
+            rl_loss = rl_loss / n_rl
         loss = loss + rl_loss
 
     return RolloutResult(

@@ -108,6 +108,26 @@ class HamtTrainer:
                                rl_loss=jnp.asarray(0.0),
                                entropy=jnp.asarray(0.0))
             elif feedback == "sample":
+                if ml_w != 0 and cfg.train.fused_sample_rollout:
+                    # one fused batch-2B rollout: teacher-forced IL half +
+                    # sampled A2C half, losses identical to the two-rollout
+                    # path per half (see TrainConfig.fused_sample_rollout
+                    # for when this pays off)
+                    ep = jax.tree.map(
+                        lambda a, b: jnp.concatenate([a, b], 0), ep_il, ep_rl)
+                    il_m = jnp.concatenate(
+                        [jnp.ones(ep_il.batch, bool),
+                         jnp.zeros(ep_rl.batch, bool)])
+                    res = rollout_hamt(model, critic, params, critic_params,
+                                       tables, ep, cfg, r1,
+                                       feedback="mixed", train_ml=ml_w,
+                                       train_rl=True, deterministic=False,
+                                       il_mask=il_m)
+                    loss += res.loss
+                    metrics.update(ml_loss=res.ml_loss, aux_loss=res.aux_loss,
+                                   rl_loss=res.rl_loss,
+                                   entropy=res.entropy_sum)
+                    return loss, metrics
                 if ml_w != 0:
                     res_il = rollout_hamt(model, critic, params, critic_params,
                                           tables, ep_il, cfg, r1,
