@@ -543,19 +543,25 @@ def rollout_duet(
         rng, k_cs = jax.random.split(rng)
         crngs = None if deterministic else {"dropout": k_cs}
 
+        # one batched critic call over all T*B step states (no sequential
+        # tiny-MLP chain inside the reverse scan; fresh dropout mask per
+        # (t, b) row, matching the reference's per-step torch calls)
+        T_, B_ = rewards.shape
+        values = critic.apply(
+            critic_params, states.reshape(T_ * B_, -1),
+            deterministic=deterministic,
+            rngs=crngs).astype(jnp.float32).reshape(T_, B_)
+
         def a2c_step(disc, ys_t):
-            logp_t, state_t, reward_t, mask_t = ys_t
+            logp_t, v, reward_t, mask_t = ys_t
             disc = disc * tcfg.gamma + reward_t
-            v = critic.apply(critic_params, state_t,
-                             deterministic=deterministic,
-                             rngs=crngs).astype(jnp.float32)
             adv = jax.lax.stop_gradient(disc - v)
             pol = jnp.sum(-logp_t * adv * mask_t)
             cri = jnp.sum(((disc - v) ** 2) * mask_t) * 0.5
             return disc, pol + cri
 
         _, step_losses = jax.lax.scan(
-            a2c_step, jnp.zeros((B,)), (logps, states, rewards, masks),
+            a2c_step, jnp.zeros((B,)), (logps, values, rewards, masks),
             reverse=True)
         rl_loss = jnp.sum(step_losses)
         if feedback == "sample":

@@ -320,13 +320,19 @@ def rollout_hamt(
         discount0 = jnp.where(stateT.ended, 0.0,
                               last_value.astype(jnp.float32))
 
+        # one batched critic call over all T*B step states (instead of one
+        # tiny MLP per reverse-scan iteration: same values, no sequential
+        # critic chain in the compiled graph)
+        T_, B_ = rewards.shape
+        values = critic.apply(
+            critic_params, states.reshape(T_ * B_, -1),
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": k_cs}
+        ).astype(jnp.float32).reshape(T_, B_)
+
         def a2c_step(disc, ys_t):
-            logp_t, state_t, reward_t, mask_t = ys_t
+            logp_t, v, reward_t, mask_t = ys_t
             disc = disc * tcfg.gamma + reward_t
-            v = critic.apply(critic_params, state_t,
-                             deterministic=deterministic,
-                             rngs=None if deterministic else {"dropout": k_cs}
-                             ).astype(jnp.float32)
             adv = jax.lax.stop_gradient(disc - v)
             pol = jnp.sum(-logp_t * adv * mask_t)
             cri = jnp.sum(((disc - v) ** 2) * mask_t) * 0.5
@@ -335,7 +341,7 @@ def rollout_hamt(
 
         # reverse-time A2C pass (agent_cmt.py:712-732)
         _, step_losses = jax.lax.scan(
-            a2c_step, discount0, (logps, states, rewards, masks), reverse=True)
+            a2c_step, discount0, (logps, values, rewards, masks), reverse=True)
         rl_loss = jnp.sum(step_losses)
         if feedback in ("sample", "mixed"):
             rl_loss = rl_loss + jnp.sum(
