@@ -49,6 +49,12 @@ def parse_args():
     p.add_argument("--splits", nargs="+",
                    default=["train", "val_seen", "val_unseen"])
     p.add_argument("--resume")
+    # inference mode (the reference's valid()-from-checkpoint entry,
+    # main.py:370-421): evaluate every val split and exit
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--submit", action="store_true",
+                   help="write submit_<env>.json + individual metrics during "
+                        "validation (needs --connectivity-dir graphs)")
     return p.parse_args()
 
 
@@ -148,7 +154,7 @@ def build_real(cfg, args):
 
     train = make_split(args.splits[0])
     vals = [make_split(s) for s in args.splits[1:]]
-    return tables, train, vals
+    return tables, train, vals, graphs
 
 
 def main():
@@ -172,15 +178,23 @@ def main():
     if args.e2e_imagination != "off":
         cfg = _replace(cfg, "model", e2e_imagination=args.e2e_imagination)
 
+    graphs = None
     if args.synthetic:
         tables, train, vals = build_synthetic(cfg)
     else:
-        tables, train, vals = build_real(cfg, args)
+        tables, train, vals, graphs = build_real(cfg, args)
 
-    driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir)
+    driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir,
+                            graphs=graphs)
     driver.setup()
     if args.resume:
         driver.state = driver.ckpt.load(args.resume, driver.state)
+    if args.eval_only:
+        for split in vals:
+            score = driver.validate(split, write_outputs=args.submit)
+            print(f"{split.name}: "
+                  + ", ".join(f"{k}={v:.2f}" for k, v in score.items()))
+        return
     driver.run(iters=args.iters, log_every=args.log_every)
 
 

@@ -15,7 +15,7 @@ from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
 @pytest.fixture(scope="module")
 def driver(tmp_path_factory):
     cfg = tiny_test_config("hamt")
-    world_np, _ = synthetic_world(
+    world_np, graphs = synthetic_world(
         num_scans=2, num_nodes=18, max_candidates=cfg.env.max_candidates,
         views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
     tables = jax.tree.map(jnp.asarray, world_np)
@@ -31,7 +31,7 @@ def driver(tmp_path_factory):
 
     log_dir = str(tmp_path_factory.mktemp("run"))
     d = FinetuneDriver(cfg, tables, split("train", 12, 1),
-                       [split("val_unseen", 6, 2)], log_dir)
+                       [split("val_unseen", 6, 2)], log_dir, graphs=graphs)
     d.setup()
     return d
 
@@ -48,6 +48,21 @@ def test_run_produces_checkpoints_and_logs(driver):
 def test_validation_covers_every_item_once(driver):
     score = driver.validate(driver.val_splits[0])
     assert set(score) >= {"sr", "spl", "nDTW"}
+
+
+def test_validation_writes_submission_and_metrics(driver):
+    import json
+
+    driver.validate(driver.val_splits[0], write_outputs=True)
+    sub = os.path.join(driver.log_dir, "submit_val_unseen.json")
+    ind = os.path.join(driver.log_dir, "individual_metrics_val_unseen.json")
+    assert os.path.exists(sub) and os.path.exists(ind)
+    with open(sub) as f:
+        preds = json.load(f)
+    assert len(preds) == 6  # every val item exactly once
+    assert {"instr_id", "trajectory"} <= set(preds[0])
+    vp, heading, elev = preds[0]["trajectory"][0]
+    assert isinstance(vp, str) and isinstance(heading, float)
 
 
 def test_failure_recovery_rolls_back(driver, monkeypatch):

@@ -46,9 +46,12 @@ def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
 class FinetuneDriver:
     def __init__(self, cfg: Config, tables: WorldTables,
                  train_split: SplitData, val_splits: list[SplitData],
-                 log_dir: str, rng=None):
+                 log_dir: str, rng=None, graphs=None):
         self.cfg = cfg
         self.tables = tables
+        # host ScanGraphs (scan index -> graph): needed only to emit
+        # submit_<env>.json with real viewpoint ids/poses (main.py:416-421)
+        self.graphs = graphs
         self.train_split = train_split
         self.val_splits = val_splits
         self.log_dir = log_dir
@@ -134,13 +137,20 @@ class FinetuneDriver:
                               np.asarray(scans), paths, gts, kept_ids)
         if write_outputs:
             # submit_<env>.json + individual_metrics_<env>.json
-            # (main.py:410-421); requires host graphs for viewpoint ids
+            # (main.py:410-421); the submission needs host graphs for real
+            # viewpoint ids/poses
             from vln_imagine_tpu.eval.submission import (
                 write_individual_metrics,
+                write_submission,
             )
             write_individual_metrics(
                 os.path.join(self.log_dir,
                              f"individual_metrics_{split.name}.json"), per)
+            if self.graphs is not None:
+                headings = np.asarray(split.episodes.start_heading)[kept_idx]
+                write_submission(
+                    os.path.join(self.log_dir, f"submit_{split.name}.json"),
+                    self.graphs, np.asarray(scans), paths, kept_ids, headings)
         return avg
 
     # ------------------------------------------------------------------ loop
