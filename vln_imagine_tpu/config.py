@@ -250,10 +250,21 @@ def rxr_config() -> Config:
 
 
 def reverie_config(agent: str = "duet") -> Config:
-    """REVERIE object-grounding preset (DUET stack w/ objects,
-    map_nav_src/scripts/run_reverie.sh)."""
-    cfg = duet_r2r_config().replace(dataset="reverie")
-    cfg = _replace(cfg, "model", obj_feat_size=768, max_imagination_len=1)
+    """REVERIE object-grounding presets.
+
+    agent='duet': DUET stack w/ objects + the single-imagination REVERIE
+    variant (map_nav_src/scripts/run_reverie.sh, vilmodel.py:781-888).
+    agent='hamt': NavRefCMT (finetune_src/reverie/vlnbert_navref.py) — a
+    separate object token segment in the visual stream and a ref_object
+    grounding head; the reference NavRef model carries no imagination
+    modules, so imagination/aux-loss are off."""
+    if agent == "duet":
+        cfg = duet_r2r_config().replace(dataset="reverie")
+        cfg = _replace(cfg, "model", obj_feat_size=768, max_imagination_len=1)
+    else:
+        cfg = hamt_r2r_config().replace(dataset="reverie")
+        cfg = _replace(cfg, "model", obj_feat_size=768,
+                       imagine_enc_pano=False, use_cosine_aux_loss=False)
     cfg = _replace(cfg, "env", max_instr_len=80)
     return cfg
 

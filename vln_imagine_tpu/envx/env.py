@@ -43,6 +43,12 @@ class HamtObs(NamedTuple):
     valid: jnp.ndarray      # [B, T_obs] bool
     cand_valid: jnp.ndarray  # [B, K] bool
     stop_slot: int          # == K
+    # REVERIE object segment (separate token bank, NavRefCMT
+    # `_object_variable` reverie/agent.py:125-139)
+    obj_img: Optional[jnp.ndarray] = None    # [B, Ko, Df]
+    obj_ang: Optional[jnp.ndarray] = None    # [B, Ko, A]
+    obj_ids: Optional[jnp.ndarray] = None    # [B, Ko] i32
+    obj_valid: Optional[jnp.ndarray] = None  # [B, Ko] bool
 
 
 def obs_tokens(max_candidates: int, views: int) -> int:
@@ -126,8 +132,25 @@ def observe_hamt(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
          jnp.zeros((B, V), jnp.int32)], axis=1)
     valid = jnp.concatenate(
         [adj_valid, jnp.ones((B, 1), bool), ~used], axis=1)
+
+    obj_img = obj_ang = obj_ids = obj_valid = None
+    if tables.obj_feat is not None:
+        o_feat = _gather_sn(tables.obj_feat, ep.scan, state.node)
+        o_ang = _gather_sn(tables.obj_ang, ep.scan, state.node)
+        obj_valid = _gather_sn(tables.obj_valid, ep.scan, state.node)
+        obj_ids = _gather_sn(tables.obj_ids, ep.scan, state.node)
+        Do = o_feat.shape[-1]
+        if Do < Df:
+            o_feat = jnp.pad(o_feat, ((0, 0), (0, 0), (0, Df - Do)))
+        else:
+            o_feat = o_feat[..., :Df]
+        obj_img = o_feat * obj_valid[:, :, None]
+        obj_ang = angle_feature(o_ang[..., 0] - base_h, o_ang[..., 1],
+                                angle_feat_size)
     return HamtObs(img=img, ang=ang, nav_types=nav, valid=valid,
-                   cand_valid=adj_valid, stop_slot=K)
+                   cand_valid=adj_valid, stop_slot=K,
+                   obj_img=obj_img, obj_ang=obj_ang, obj_ids=obj_ids,
+                   obj_valid=obj_valid)
 
 
 def history_inputs(tables: WorldTables, ep: EpisodeBatch, state: EnvState,

@@ -230,6 +230,7 @@ class VisualOut(NamedTuple):
     hist_embeds: jnp.ndarray  # [B, T, H]
     ob_embeds: jnp.ndarray    # [B, T_obs, H]
     state: jnp.ndarray        # [B, H] critic state txt[CLS] * hist[CLS]
+    obj_logits: jnp.ndarray | None = None  # [B, Ko] REVERIE grounding
 
 
 class HamtModel(nn.Module):
@@ -259,6 +260,13 @@ class HamtModel(nn.Module):
             LXRTXLayer(cfg, name=f"x_layer_{i}")
             for i in range(cfg.num_x_layers)]
         self.next_action = NextActionPrediction(cfg)
+        if cfg.obj_feat_size > 0:
+            # REVERIE object segment (NavRefCMT: ObjEmbeddings
+            # vlnbert_navref.py:17-42 + ref_object head :56,153; the bbox
+            # pos feature is folded into the angle features — the compiled
+            # object tables carry heading/elevation only)
+            self.obj_embeddings = ImageEmbeddings(cfg)
+            self.ref_object = NextActionPrediction(cfg)
         self.drop_env = nn.Dropout(self.feat_dropout)
 
     # ------------------------------------------------------------------ modes
@@ -353,9 +361,13 @@ class HamtModel(nn.Module):
 
     def visual(self, txt_embeds, txt_mask, hist_embeds, hist_mask,
                ob_img_feats, ob_ang_feats, ob_nav_types, ob_valid,
-               imagine_embeds=None, imagine_mask=None, deterministic=True):
+               imagine_embeds=None, imagine_mask=None,
+               obj_img_feats=None, obj_ang_feats=None, obj_valid=None,
+               deterministic=True):
         """Per-step cross-modal encoding + action logits
-        (vilmodel_cmt.py:1056-1205)."""
+        (vilmodel_cmt.py:1056-1205).  With object inputs (REVERIE,
+        vlnbert_navref.py:90-155) the visual stream is [hist; obs; obj] and
+        obj_logits = ref_object(obj_embeds * txt[CLS]) masked by obj_valid."""
         cfg = self.config
         no_ca = cfg.no_lang_ca
         if no_ca:
@@ -380,6 +392,20 @@ class HamtModel(nn.Module):
         hist_len = hist_embeds.shape[1]
         visn = jnp.concatenate([hist_embeds, ob_embeds], axis=1)
         visn_mask = jnp.concatenate([ext_hist, ext_ob], axis=-1)
+
+        Ko = 0
+        if cfg.obj_feat_size > 0 and obj_img_feats is not None:
+            Ko = obj_img_feats.shape[1]
+            obj_img_feats = self.drop_env(obj_img_feats,
+                                          deterministic=deterministic)
+            obj_type = self.embeddings.token_type_embedding(
+                jnp.ones((B, Ko), jnp.int32))
+            obj_embeds = self.obj_embeddings(
+                obj_img_feats, obj_ang_feats, obj_type,
+                jnp.full((B, Ko), 2, jnp.int32), deterministic)
+            visn = jnp.concatenate([visn, obj_embeds], axis=1)
+            visn_mask = jnp.concatenate(
+                [visn_mask, extend_neg_mask(obj_valid)], axis=-1)
 
         if cfg.imagine_enc_pano and cfg.concat_imagine_with == "language":
             lang = jnp.concatenate([txt_embeds, imagine_embeds], axis=1)
@@ -428,4 +454,10 @@ class HamtModel(nn.Module):
         # critic state: txt[CLS] * hist[CLS], or hist[CLS] under no_lang_ca
         # (model_HAMT.py:83-86)
         state = hist_out[:, 0] if no_ca else txt_out[:, 0] * hist_out[:, 0]
-        return VisualOut(logits, txt_out, hist_out, ob_out, state)
+        obj_logits = None
+        if Ko:
+            obj_out = visn[:, hist_len + T_obs: hist_len + T_obs + Ko]
+            obj_logits = self.ref_object(
+                obj_out * txt_out[:, :1], deterministic=deterministic)[..., 0]
+            obj_logits = mask_logits(obj_logits, obj_valid)
+        return VisualOut(logits, txt_out, hist_out, ob_out, state, obj_logits)

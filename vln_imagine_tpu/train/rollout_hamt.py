@@ -48,6 +48,8 @@ class RolloutResult(NamedTuple):
     actions: jnp.ndarray         # [T, B]
     entropy_sum: jnp.ndarray     # scalar (log metric)
     midstop: jnp.ndarray = None  # [B] i32 declared midstop (r2r_back; -1 none)
+    og_loss: jnp.ndarray = None  # scalar REVERIE grounding CE
+    pred_obj: jnp.ndarray = None  # [B] i32 predicted object id at stop (-1)
 
 
 def _select_action(logits, valid, teacher, feedback: str, rng, il_mask=None):
@@ -110,6 +112,11 @@ def rollout_hamt(
     # Reward distances target the midstop until the first stop, then the
     # return destination (the 2-tuple 'distance' in R2RBackBatch._get_obs).
     two_phase = cfg.dataset == "r2r_back" and ep.midstop is not None
+    # REVERIE object grounding (NavRefCMTAgent, reverie/agent.py:141-165,
+    # 271-304): per-step ref CE supervised at the goal viewpoint, predicted
+    # object recorded when the item stops
+    use_obj = (mcfg.obj_feat_size > 0 and tables.obj_feat is not None
+               and ep.gt_obj_id is not None)
 
     def apply(method, *args, rngs_key=None, **kw):
         rngs = {"dropout": rngs_key} if rngs_key is not None else None
@@ -155,16 +162,20 @@ def rollout_hamt(
 
     def visual_forward(st: EnvState, h_buf, h_len, rkey):
         obs = envx.observe_hamt(tables, ep, st, mcfg.angle_feat_size)
+        obj_kw = {}
+        if use_obj:
+            obj_kw = dict(obj_img_feats=obs.obj_img,
+                          obj_ang_feats=obs.obj_ang, obj_valid=obs.obj_valid)
         h_mask = jnp.arange(T + 1)[None, :] < h_len[:, None]
         out = apply(HamtModel.visual, txt_embeds, ep.txt_mask, h_buf, h_mask,
                     obs.img, obs.ang, obs.nav_types, obs.valid,
                     imagine_embeds=imagine_embeds, imagine_mask=ep.imagine_mask,
-                    rngs_key=rkey)
+                    rngs_key=rkey, **obj_kw)
         return obs, out
 
     def step_fn(carry, t):
         (st, h_buf, h_len, dtw_row, last_dist, last_ndtw, first_ended,
-         midstop_pred, ml_acc, ent_acc, key) = carry
+         midstop_pred, obj_pred, ml_acc, og_acc, ent_acc, key) = carry
         key, k_vis, k_act, k_hist = jax.random.split(key, 4)
 
         obs, out = visual_forward(st, h_buf, h_len, k_vis)
@@ -193,6 +204,26 @@ def rollout_hamt(
         stop_sel = ((a_t == obs.stop_slot) | (a_t == ignore)) & ~st.ended
         is_stop = stop_sel | st.ended
         a_env = jnp.where(is_stop, K, a_t).astype(jnp.int32)
+
+        if use_obj:
+            # ref CE when the teacher stops here (= at the goal viewpoint,
+            # reverie/agent.py:150-158); predicted object recorded the step
+            # the item stops, incl. the forced stop at t == T-1 (:299-304)
+            gt_match = (obs.obj_ids == ep.gt_obj_id[:, None]) & obs.obj_valid
+            has_gt = jnp.any(gt_match, axis=1)
+            gt_k = jnp.argmax(gt_match, axis=1)
+            og_logp = jax.nn.log_softmax(
+                jnp.where(obs.obj_valid, out.obj_logits,
+                          LOGIT_NEG_INF).astype(jnp.float32), axis=-1)
+            if train_ml is not None:
+                sup = (teacher == obs.stop_slot) & ~st.ended & has_gt
+                og_ce = -jnp.take_along_axis(og_logp, gt_k[:, None], 1)[:, 0]
+                og_acc = og_acc + jnp.sum(jnp.where(sup, og_ce, 0.0))
+            any_obj = jnp.any(obs.obj_valid, axis=1)
+            best_id = jnp.take_along_axis(
+                obs.obj_ids, jnp.argmax(og_logp, axis=1)[:, None], 1)[:, 0]
+            stopping = stop_sel | ((t == T - 1) & ~st.ended)
+            obj_pred = jnp.where(stopping & any_obj, best_id, obj_pred)
 
         if two_phase:
             midstop_pred = jnp.where(stop_sel & ~first_ended, st.node,
@@ -257,7 +288,8 @@ def rollout_hamt(
         first_ended = first_ended | stop_sel
 
         carry = (st2, h_buf, h_len, dtw_row, last_dist, last_ndtw,
-                 first_ended, midstop_pred, ml_acc, ent_acc, key)
+                 first_ended, midstop_pred, obj_pred, ml_acc, og_acc,
+                 ent_acc, key)
         ys = (out.act_logits, a_t, logp_a, entropy, out.state, reward, mask)
         return carry, ys
 
@@ -266,7 +298,8 @@ def rollout_hamt(
         last_dist0 = tables.dist[ep.scan, state0.node, ep.midstop]
     carry0 = (state0, hist_buf, hist_len, dtw_row0, last_dist0, last_ndtw0,
               jnp.zeros((B,), bool), jnp.full((B,), -1, jnp.int32),
-              jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
+              jnp.full((B,), -1, jnp.int32),
+              jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
     if early_exit:
         # inference-only: a while_loop stops as soon as every episode has
         # ended (the reference's python `break`, agent_cmt.py:658-659),
@@ -286,28 +319,35 @@ def rollout_hamt(
 
         _, carry = jax.lax.while_loop(
             cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0))
-        (stateT, _, _, _, _, _, _, midstop_pred, _, ent_acc, _) = carry
+        (stateT, _, _, _, _, _, _, midstop_pred, obj_pred, _, _, ent_acc,
+         _) = carry
         loss = (mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss
                 else jnp.asarray(0.0))
         return RolloutResult(
             loss=loss, ml_loss=jnp.asarray(0.0), rl_loss=jnp.asarray(0.0),
             aux_loss=aux_loss, path_nodes=stateT.path_nodes,
             path_len=stateT.path_len, logits=None, actions=None,
-            entropy_sum=ent_acc, midstop=midstop_pred)
+            entropy_sum=ent_acc, midstop=midstop_pred,
+            og_loss=jnp.asarray(0.0), pred_obj=obj_pred)
 
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    (stateT, hist_bufT, hist_lenT, _, _, _, _, midstop_pred, ml_acc,
-     ent_acc, _) = carry
+    (stateT, hist_bufT, hist_lenT, _, _, _, _, midstop_pred, obj_pred,
+     ml_acc, og_acc, ent_acc, _) = carry
     logits_seq, actions, logps, entropys, states, rewards, masks = ys
 
     ml_loss = jnp.asarray(0.0)
     loss = mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss else jnp.asarray(0.0)
+    og_loss = jnp.asarray(0.0)
     if train_ml is not None:
         # per-rollout batch normalization (agent_cmt.py:747): in a fused
         # batch the CE divides by the IL half's size, not the full batch
         n_il = B if il_m is None else jnp.maximum(jnp.sum(il_m), 1)
         ml_loss = ml_acc * train_ml / n_il
         loss = loss + ml_loss
+        if use_obj:
+            # ref_loss / batch, unweighted by ml_weight (reverie/agent.py:449)
+            og_loss = og_acc / n_il
+            loss = loss + og_loss
 
     rl_loss = jnp.asarray(0.0)
     if train_rl:
@@ -358,7 +398,7 @@ def rollout_hamt(
         loss=loss, ml_loss=ml_loss, rl_loss=rl_loss, aux_loss=aux_loss,
         path_nodes=stateT.path_nodes, path_len=stateT.path_len,
         logits=logits_seq, actions=actions, entropy_sum=ent_acc,
-        midstop=midstop_pred)
+        midstop=midstop_pred, og_loss=og_loss, pred_obj=obj_pred)
 
 
 def make_eval_fn(model, critic, tables, cfg):

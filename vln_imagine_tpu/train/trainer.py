@@ -215,9 +215,13 @@ def _init_params(model: HamtModel, cfg: Config, tables: WorldTables,
             tables, ep1, state, jnp.zeros((1,), jnp.int32),
             mcfg.angle_feat_size)
         mdl.history_step(hist_img, prev_ang, 0, pano_img, pano_ang)
+        obj_kw = {}
+        if mcfg.obj_feat_size > 0 and tables.obj_feat is not None:
+            obj_kw = dict(obj_img_feats=obs.obj_img,
+                          obj_ang_feats=obs.obj_ang, obj_valid=obs.obj_valid)
         mdl.visual(txt, ep1.txt_mask, hist_buf, hist_mask, obs.img, obs.ang,
                    obs.nav_types, obs.valid, imagine_embeds=imagine,
-                   imagine_mask=ep1.imagine_mask)
+                   imagine_mask=ep1.imagine_mask, **obj_kw)
         return None
 
     return model.init(rng, method=init_all)
