@@ -49,6 +49,11 @@ def parse_args():
     p.add_argument("--splits", nargs="+",
                    default=["train", "val_seen", "val_unseen"])
     p.add_argument("--resume")
+    # device mesh (replaces the reference's DDP world_size flag): batch
+    # shards over 'data', large kernels over 'model' when >1
+    p.add_argument("--mesh-data", type=int, default=0,
+                   help="data-parallel axis size (0 = single device)")
+    p.add_argument("--mesh-model", type=int, default=1)
     # inference mode (the reference's valid()-from-checkpoint entry,
     # main.py:370-421): evaluate every val split and exit
     p.add_argument("--eval-only", action="store_true")
@@ -184,8 +189,13 @@ def main():
     else:
         tables, train, vals, graphs = build_real(cfg, args)
 
+    mesh = None
+    if args.mesh_data:
+        from vln_imagine_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+
     driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir,
-                            graphs=graphs)
+                            graphs=graphs, mesh=mesh)
     driver.setup()
     if args.resume:
         driver.state = driver.ckpt.load(args.resume, driver.state)

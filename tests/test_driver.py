@@ -65,6 +65,36 @@ def test_validation_writes_submission_and_metrics(driver):
     assert isinstance(vp, str) and isinstance(heading, float)
 
 
+def test_driver_runs_on_data_mesh(tmp_path):
+    """Full driver loop with state replicated and batches sharded over the
+    8-device virtual CPU mesh (the reference's DDP training)."""
+    from vln_imagine_tpu.parallel.mesh import make_mesh
+
+    cfg = tiny_test_config("hamt")
+    world_np, _ = synthetic_world(
+        num_scans=2, num_nodes=18, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
+    tables = jax.tree.map(jnp.asarray, world_np)
+
+    def split(name, n, seed):
+        ep = synthetic_episodes(
+            world_np, batch=n, max_gt_path_len=cfg.env.max_gt_path_len,
+            max_instr_len=cfg.env.max_instr_len,
+            max_imaginations=cfg.model.max_imagination_len,
+            vocab_size=cfg.model.vocab_size,
+            feat_dim=cfg.model.hidden_size, seed=seed)
+        return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    d = FinetuneDriver(cfg, tables, split("train", 8, 1),
+                       [split("val_unseen", 4, 2)], str(tmp_path), mesh=mesh)
+    d.setup()
+    d.run(iters=2, log_every=2)
+    assert os.path.isdir(os.path.join(d.log_dir, "ckpts", "latest_dict"))
+    score = d.validate(d.val_splits[0])
+    assert np.isfinite(score["sr"])
+
+
 def test_failure_recovery_rolls_back(driver, monkeypatch):
     calls = {"n": 0}
     orig = driver.train_interval

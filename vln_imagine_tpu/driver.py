@@ -46,12 +46,17 @@ def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
 class FinetuneDriver:
     def __init__(self, cfg: Config, tables: WorldTables,
                  train_split: SplitData, val_splits: list[SplitData],
-                 log_dir: str, rng=None, graphs=None):
+                 log_dir: str, rng=None, graphs=None, mesh=None):
         self.cfg = cfg
         self.tables = tables
         # host ScanGraphs (scan index -> graph): needed only to emit
         # submit_<env>.json with real viewpoint ids/poses (main.py:416-421)
         self.graphs = graphs
+        # optional jax.sharding.Mesh (parallel.mesh.make_mesh): batch axes
+        # shard over 'data' (the reference's DDP, utils/distributed.py),
+        # large kernels over 'model' when model>1; XLA inserts the gradient
+        # reductions
+        self.mesh = mesh
         self.train_split = train_split
         self.val_splits = val_splits
         self.log_dir = log_dir
@@ -87,11 +92,29 @@ class FinetuneDriver:
         self.state = self.trainer.init_state(example)
         if init_params is not None:
             self.state = self.state.replace(params=init_params)
+        if self.mesh is not None:
+            from vln_imagine_tpu.parallel.mesh import (
+                param_shardings, replicate)
+            n_data = self.mesh.shape["data"]
+            assert self.cfg.train.batch_size % n_data == 0, (
+                f"batch {self.cfg.train.batch_size} must divide the data "
+                f"axis ({n_data})")
+            p_shard = param_shardings(self.state.params, self.mesh)
+            params = jax.tree.map(jax.device_put, self.state.params, p_shard)
+            self.state = replicate(
+                self.state.replace(params=None), self.mesh
+            ).replace(params=params)
         if self.cfg.agent == "hamt":
             self._train_step = self.trainer.make_train_step(self._feedback)
         else:
             self._train_step = self.trainer.make_train_step()
         self._eval_step = self.trainer.make_eval_step()
+
+    def _place_batch(self, ep: EpisodeBatch) -> EpisodeBatch:
+        if self.mesh is None:
+            return ep
+        from vln_imagine_tpu.parallel.mesh import shard_batch
+        return shard_batch(ep, self.mesh)
 
     # ----------------------------------------------------------------- train
     def train_interval(self, n_iters: int) -> dict:
@@ -99,8 +122,8 @@ class FinetuneDriver:
         for _ in range(n_iters):
             i1 = self.sampler.next_batch()
             i2 = self.sampler.next_batch()
-            ep1 = _take(self.train_split.episodes, i1)
-            ep2 = _take(self.train_split.episodes, i2)
+            ep1 = self._place_batch(_take(self.train_split.episodes, i1))
+            ep2 = self._place_batch(_take(self.train_split.episodes, i2))
             rng, self._rng = jax.random.split(self._rng)
             self.state, metrics = self._train_step(self.state, ep1, ep2, rng)
             # keep metrics on-device during the interval: converting per step
@@ -118,7 +141,7 @@ class FinetuneDriver:
         n = split.episodes.scan.shape[0]
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
         for idxs, fresh in EvalSampler(n, bs):
-            ep = _take(split.episodes, idxs)
+            ep = self._place_batch(_take(split.episodes, idxs))
             rng, self._rng = jax.random.split(self._rng)
             pn, pl = self._eval_step(self.state.params, ep, rng)
             pn, pl = np.asarray(pn), np.asarray(pl)
