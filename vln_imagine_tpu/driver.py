@@ -190,11 +190,19 @@ class FinetuneDriver:
             self.setup()
         start = time.time()
         failures = 0
+        # profiling: VLN_PROFILE_DIR=<dir> captures an XLA/TPU trace of the
+        # first interval (inspect with tensorboard / xprof).  The reference
+        # offers only a tic/toc Timer (utils/logger.py:28-57).
+        profile_dir = os.environ.get("VLN_PROFILE_DIR")
         for idx in range(0, iters, log_every):
             interval = min(log_every, iters - idx)
             it = idx + interval
             try:
-                train_metrics = self.train_interval(interval)
+                if profile_dir and idx == 0:
+                    with jax.profiler.trace(profile_dir):
+                        train_metrics = self.train_interval(interval)
+                else:
+                    train_metrics = self.train_interval(interval)
                 failures = 0
             except Exception as e:  # noqa: BLE001 - deliberate recovery scope
                 failures += 1
