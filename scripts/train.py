@@ -198,7 +198,7 @@ def main():
                             graphs=graphs, mesh=mesh)
     driver.setup()
     if args.resume:
-        driver.state = driver.ckpt.load(args.resume, driver.state)
+        driver.load_checkpoint(args.resume)
     if args.eval_only:
         for split in vals:
             score = driver.validate(split, write_outputs=args.submit)

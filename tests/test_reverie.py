@@ -151,6 +151,20 @@ def test_hamt_reverie_train_step(hamt_setup):
     assert float(metrics["grad_norm"]) > 0
 
 
+def test_driver_validation_scores_grounding(hamt_setup, tmp_path):
+    """End-to-end REVERIE validation through the driver: eval steps surface
+    pred_obj and the object variant scoring (RGS/RGSPL) is applied."""
+    from vln_imagine_tpu.driver import FinetuneDriver, SplitData
+
+    cfg, world_np, world, ep = hamt_setup
+    split = SplitData("val_unseen", ep, [f"i{k}" for k in range(ep.batch)])
+    d = FinetuneDriver(cfg, world, split, [split], str(tmp_path))
+    d.setup()
+    score = d.validate(split)
+    assert {"rgs", "rgspl", "sr", "spl"} <= set(score)
+    assert all(np.isfinite(v) for v in score.values())
+
+
 def test_reverie_config_presets():
     from vln_imagine_tpu.config import reverie_config
 

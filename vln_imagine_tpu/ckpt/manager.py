@@ -64,6 +64,13 @@ class CheckpointManager:
     def load(self, name: str, example_state: Any) -> Any:
         path = os.path.join(self.dir, name)
         restored = self._ckpt.restore(path)
+        # the structural walk ignores restored subtrees the example lacks;
+        # a count mismatch means the checkpoint belongs to a different model
+        n_ex = len(jax.tree_util.tree_leaves(example_state))
+        n_re = len(jax.tree_util.tree_leaves(restored))
+        assert n_ex == n_re, (
+            f"checkpoint '{name}' has {n_re} leaves, expected {n_ex} — "
+            "it was saved from a differently-configured model")
         return _graft(example_state, restored)
 
     def list_snapshots(self) -> list[str]:

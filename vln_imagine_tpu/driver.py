@@ -40,7 +40,9 @@ class SplitData:
 
 
 def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
-    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)[idxs]), ep)
+    # numpy gather only: device placement happens in _place_batch (mesh
+    # sharding) or at jit dispatch (single device) — one H2D copy either way
+    return jax.tree.map(lambda x: np.asarray(x)[idxs], ep)
 
 
 class FinetuneDriver:
@@ -97,8 +99,8 @@ class FinetuneDriver:
                 param_shardings, replicate)
             n_data = self.mesh.shape["data"]
             assert self.cfg.train.batch_size % n_data == 0, (
-                f"batch {self.cfg.train.batch_size} must divide the data "
-                f"axis ({n_data})")
+                f"the data axis ({n_data}) must divide the batch size "
+                f"({self.cfg.train.batch_size})")
             p_shard = param_shardings(self.state.params, self.mesh)
             params = jax.tree.map(jax.device_put, self.state.params, p_shard)
             self.state = replicate(
@@ -112,9 +114,26 @@ class FinetuneDriver:
 
     def _place_batch(self, ep: EpisodeBatch) -> EpisodeBatch:
         if self.mesh is None:
-            return ep
+            return ep  # numpy leaves; jit transfers at dispatch
         from vln_imagine_tpu.parallel.mesh import shard_batch
         return shard_batch(ep, self.mesh)
+
+    def _place_state(self, state):
+        """Re-apply the mesh layout to a restored (host numpy) state: without
+        this, resume/rollback under a mesh would leave TP-sharded kernels
+        fully replicated (layout change + recompile + extra HBM)."""
+        if self.mesh is None:
+            return state
+        from vln_imagine_tpu.parallel.mesh import param_shardings, replicate
+        p_shard = param_shardings(state.params, self.mesh)
+        params = jax.tree.map(jax.device_put, state.params, p_shard)
+        return replicate(state.replace(params=None),
+                         self.mesh).replace(params=params)
+
+    def load_checkpoint(self, name: str):
+        """Restore `name` into the current state with the mesh layout."""
+        self.state = self._place_state(self.ckpt.load(name, self.state))
+        return self.state
 
     # ----------------------------------------------------------------- train
     def train_interval(self, n_iters: int) -> dict:
@@ -140,11 +159,14 @@ class FinetuneDriver:
         bs = batch_size or self.cfg.train.batch_size
         n = split.episodes.scan.shape[0]
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
+        pred_objs = []
         for idxs, fresh in EvalSampler(n, bs):
             ep = self._place_batch(_take(split.episodes, idxs))
             rng, self._rng = jax.random.split(self._rng)
-            pn, pl = self._eval_step(self.state.params, ep, rng)
-            pn, pl = np.asarray(pn), np.asarray(pl)
+            out = self._eval_step(self.state.params, ep, rng)
+            pn, pl = np.asarray(out[0]), np.asarray(out[1])
+            po = (np.asarray(out[2])
+                  if len(out) > 2 and out[2] is not None else None)
             for j, keep in enumerate(fresh):
                 if not keep:
                     continue
@@ -156,8 +178,16 @@ class FinetuneDriver:
                 scans.append(int(np.asarray(split.episodes.scan)[b]))
                 kept_ids.append(split.instr_ids[b] if split.instr_ids else b)
                 kept_idx.append(b)
-        avg, per = eval_batch(np.asarray(self.tables.dist),
-                              np.asarray(scans), paths, gts, kept_ids)
+                if po is not None:
+                    pred_objs.append(int(po[j]))
+        if pred_objs and split.episodes.gt_obj_id is not None:
+            # REVERIE/SOON: object-navigation scoring (success = stop at any
+            # viewpoint the gt object is visible from; RGS/RGSPL grounding)
+            avg, per = self._eval_object_split(split, scans, paths, gts,
+                                               kept_ids, kept_idx, pred_objs)
+        else:
+            avg, per = eval_batch(np.asarray(self.tables.dist),
+                                  np.asarray(scans), paths, gts, kept_ids)
         if write_outputs:
             # submit_<env>.json + individual_metrics_<env>.json
             # (main.py:410-421); the submission needs host graphs for real
@@ -175,6 +205,28 @@ class FinetuneDriver:
                     os.path.join(self.log_dir, f"submit_{split.name}.json"),
                     self.graphs, np.asarray(scans), paths, kept_ids, headings)
         return avg
+
+    def _eval_object_split(self, split, scans, paths, gts, kept_ids,
+                           kept_idx, pred_objs):
+        from vln_imagine_tpu.variants import eval_batch_variant
+
+        gt_obj = np.asarray(split.episodes.gt_obj_id)
+        obj_ids = np.asarray(self.tables.obj_ids)       # [S, N, Ko]
+        obj_valid = np.asarray(self.tables.obj_valid)
+        gt_objs, goal_vps = [], []
+        for i, b in enumerate(kept_idx):
+            g = int(gt_obj[b])
+            gt_objs.append(g)
+            visible = (obj_ids[scans[i]] == g) & obj_valid[scans[i]]
+            vps = list(np.nonzero(np.any(visible, axis=-1))[0])
+            # fall back to the annotated goal if the object table lacks it
+            goal_vps.append(vps if vps else [gts[i][-1]])
+        variant = self.cfg.dataset if self.cfg.dataset in ("reverie", "soon") \
+            else "reverie"
+        return eval_batch_variant(
+            variant, np.asarray(self.tables.dist), np.asarray(scans), paths,
+            gt_paths=gts, goal_viewpoints=goal_vps, pred_objs=pred_objs,
+            gt_objs=gt_objs, instr_ids=kept_ids)
 
     # ------------------------------------------------------------------ loop
     def run(self, iters: int | None = None, log_every: int | None = None,
@@ -213,7 +265,7 @@ class FinetuneDriver:
                 if failures > max_failures:
                     raise
                 try:
-                    self.state = self.ckpt.load("latest_dict", self.state)
+                    self.load_checkpoint("latest_dict")
                     write_to_record_file("rolled back to latest_dict",
                                          self.record_file, verbose=True)
                 except Exception:

@@ -10,8 +10,11 @@ and the unfused XLA path at reference shapes (B8 H12 Lq80 Lk52 D64 bf16:
 
 A custom VJP runs the standard attention backward as a second fused kernel.
 `fused_attention` falls back to pure jnp on non-TPU backends and for shapes
-the kernel does not support; MHAttention in models/bert.py routes here when
-ModelConfig.use_pallas_attention is set and attention dropout is inactive.
+the kernel does not support.  MHAttention in models/bert.py routes here
+whenever ModelConfig.use_pallas_attention is set (the default): eval calls
+use the plain kernels, dropout-active training calls use the dropout
+kernels, which draw the attention-probs mask from the TPU per-core PRNG and
+regenerate it in the backward kernel.
 
 Replaces (functionally) BertSelfAttention / BertOutAttention matmul chains,
 VLN-HAMT/finetune_src/models/vilmodel_cmt.py:100-134,326-353.

@@ -217,6 +217,8 @@ def rollout_hamt(
                           LOGIT_NEG_INF).astype(jnp.float32), axis=-1)
             if train_ml is not None:
                 sup = (teacher == obs.stop_slot) & ~st.ended & has_gt
+                if il_m is not None:
+                    sup = sup & il_m  # grounding CE covers the IL half only
                 og_ce = -jnp.take_along_axis(og_logp, gt_k[:, None], 1)[:, 0]
                 og_acc = og_acc + jnp.sum(jnp.where(sup, og_ce, 0.0))
             any_obj = jnp.any(obs.obj_valid, axis=1)

@@ -176,6 +176,8 @@ class HamtTrainer:
     # ------------------------------------------------------------------ eval
     def make_eval_step(self):
         cfg, model, critic, tables = self.cfg, self.model, self.critic, self.tables
+        use_obj = (cfg.model.obj_feat_size > 0
+                   and tables.obj_feat is not None)
 
         @jax.jit
         def eval_step(params, ep: EpisodeBatch, rng):
@@ -183,6 +185,9 @@ class HamtTrainer:
                                rng, feedback="argmax", train_ml=None,
                                train_rl=False, deterministic=True,
                                early_exit=True)
+            if use_obj:
+                # REVERIE/SOON: the grounded object id per item (for RGS)
+                return res.path_nodes, res.path_len, res.pred_obj
             return res.path_nodes, res.path_len
 
         return eval_step

@@ -182,12 +182,17 @@ class DuetTrainer:
 
     def make_eval_step(self):
         cfg, model, tables = self.cfg, self.model, self.tables
+        use_obj = (cfg.model.obj_feat_size > 0
+                   and tables.obj_feat is not None)
 
         @jax.jit
         def eval_step(params, ep: EpisodeBatch, rng):
             res = rollout_duet(model, params, tables, ep, cfg, rng,
                                feedback="argmax", train_ml=None,
                                deterministic=True, early_exit=True)
+            if use_obj:
+                # REVERIE/SOON: the grounded object id per item (for RGS)
+                return res.path_nodes, res.path_len, res.pred_obj
             return res.path_nodes, res.path_len
 
         return eval_step
