@@ -10,6 +10,10 @@
 //    native parity oracle for the compiled array environment.
 // 3. An mmap'd feature bank with batched row gather — the production
 //    feature-IO path replacing per-key HDF5 reads (r2r/data_utils.py:15-47).
+// 4. An async batch prefetcher over a bank: a worker thread gathers the
+//    next batch's rows while the caller consumes the current one — the host
+//    half of the reference's PrefetchLoader overlap
+//    (pretrain_src/data/loader.py:90-124).
 //
 // Exposed through a minimal C ABI consumed via ctypes
 // (vln_imagine_tpu/native.py).  Geometry conventions match
@@ -18,9 +22,12 @@
 
 #include <algorithm>
 #include <cmath>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
+#include <thread>
 #include <vector>
 
 #include <fcntl.h>
@@ -311,6 +318,94 @@ void vln_bank_gather(void* bp, const int64_t* row_ids, int n, float* out) {
                   rf * sizeof(float));
     }
   }
+}
+
+}  // extern "C"
+
+// ----------------------------------------------------------- prefetcher
+namespace {
+
+struct Prefetcher {
+  Bank* bank = nullptr;
+  int capacity = 0;
+  std::vector<float> buf;       // gathered rows for the submitted job
+  std::vector<int64_t> rows;    // pending row ids
+  int pending_n = 0;            // rows in the submitted (unfinished) job
+  int ready_n = -1;             // rows gathered and waiting for wait()
+  bool stop = false;
+  std::thread worker;
+  std::mutex mu;
+  std::condition_variable cv;
+
+  void Run() {
+    std::unique_lock<std::mutex> lk(mu);
+    for (;;) {
+      cv.wait(lk, [&] { return stop || pending_n > 0; });
+      if (stop) return;
+      int n = pending_n;
+      std::vector<int64_t> ids(rows.begin(), rows.begin() + n);
+      lk.unlock();
+      vln_bank_gather(bank, ids.data(), n, buf.data());
+      lk.lock();
+      pending_n = 0;
+      ready_n = n;
+      cv.notify_all();
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* vln_prefetch_create(void* bank, int capacity) {
+  Prefetcher* p = new Prefetcher();
+  p->bank = static_cast<Bank*>(bank);
+  p->capacity = capacity;
+  p->buf.resize(static_cast<size_t>(capacity) * p->bank->row_floats);
+  p->rows.resize(capacity);
+  p->worker = std::thread([p] { p->Run(); });
+  return p;
+}
+
+// Enqueue the next batch's rows (n <= capacity).  One job may be in flight;
+// submitting while the previous result was never collected blocks until the
+// worker finishes it, then discards that result.
+void vln_prefetch_submit(void* pp, const int64_t* row_ids, int n) {
+  Prefetcher* p = static_cast<Prefetcher*>(pp);
+  std::unique_lock<std::mutex> lk(p->mu);
+  p->cv.wait(lk, [&] { return p->pending_n == 0; });
+  p->ready_n = -1;
+  if (n > p->capacity) n = p->capacity;
+  std::copy(row_ids, row_ids + n, p->rows.begin());
+  p->pending_n = n;
+  p->cv.notify_all();
+}
+
+// Block until the submitted job completes and copy the gathered rows into
+// out ([n, row_floats]).  Returns the row count, or -1 if nothing was
+// submitted since the last wait.
+int vln_prefetch_wait(void* pp, float* out) {
+  Prefetcher* p = static_cast<Prefetcher*>(pp);
+  std::unique_lock<std::mutex> lk(p->mu);
+  if (p->pending_n == 0 && p->ready_n < 0) return -1;
+  p->cv.wait(lk, [&] { return p->ready_n >= 0; });
+  int n = p->ready_n;
+  std::memcpy(out, p->buf.data(),
+              static_cast<size_t>(n) * p->bank->row_floats * sizeof(float));
+  p->ready_n = -1;
+  return n;
+}
+
+void vln_prefetch_destroy(void* pp) {
+  Prefetcher* p = static_cast<Prefetcher*>(pp);
+  {
+    std::lock_guard<std::mutex> lk(p->mu);
+    p->stop = true;
+    p->cv.notify_all();
+  }
+  p->worker.join();
+  delete p;
 }
 
 }  // extern "C"

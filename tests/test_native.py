@@ -95,3 +95,23 @@ def test_feature_bank_roundtrip(tmp_path):
     # out-of-range rows come back zeroed
     out2 = bank.gather(np.array([-1, 99]))
     assert (out2 == 0).all()
+
+
+def test_bank_prefetcher_overlapped_batches(tmp_path):
+    rng = np.random.default_rng(0)
+    arr = rng.standard_normal((64, 8)).astype(np.float32)
+    bank = native.FeatureBank.write(str(tmp_path / "bank.f32"), arr)
+    pf = native.BankPrefetcher(bank, capacity=16)
+    batches = [rng.integers(0, 64, size=n) for n in (16, 7, 12, 1)]
+    pf.submit(batches[0])
+    for i in range(len(batches)):
+        got = pf.wait()
+        if i + 1 < len(batches):
+            pf.submit(batches[i + 1])  # overlaps with the checks below
+        np.testing.assert_array_equal(got, arr[batches[i]])
+        assert got.shape == (len(batches[i]), 8)
+    # wait() without a submit raises
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        pf.wait()

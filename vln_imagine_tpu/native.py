@@ -72,6 +72,13 @@ def load() -> C.CDLL:
     lib.vln_bank_close.argtypes = [C.c_void_p]
     lib.vln_bank_gather.argtypes = [C.c_void_p, C.POINTER(C.c_int64), C.c_int,
                                     C.POINTER(C.c_float)]
+    lib.vln_prefetch_create.restype = C.c_void_p
+    lib.vln_prefetch_create.argtypes = [C.c_void_p, C.c_int]
+    lib.vln_prefetch_submit.argtypes = [C.c_void_p, C.POINTER(C.c_int64),
+                                        C.c_int]
+    lib.vln_prefetch_wait.restype = C.c_int
+    lib.vln_prefetch_wait.argtypes = [C.c_void_p, C.POINTER(C.c_float)]
+    lib.vln_prefetch_destroy.argtypes = [C.c_void_p]
     _lib = lib
     return lib
 
@@ -189,4 +196,43 @@ class FeatureBank:
     def __del__(self):
         if getattr(self, "_h", None):
             self._lib.vln_bank_close(self._h)
+            self._h = None
+
+
+class BankPrefetcher:
+    """Async double-buffered batch gather over a FeatureBank: a C++ worker
+    thread fills the next batch while the caller consumes the current one
+    (host half of the reference's PrefetchLoader overlap,
+    pretrain_src/data/loader.py:90-124).
+
+        pf.submit(rows0)
+        while ...:
+            batch = pf.wait()        # rows gathered in the background
+            pf.submit(next_rows)     # overlaps with consuming `batch`
+            consume(batch)
+    """
+
+    def __init__(self, bank: FeatureBank, capacity: int):
+        self._lib = load()
+        self._bank = bank  # keep alive
+        self.capacity = capacity
+        self.row_floats = bank.row_floats
+        self._h = self._lib.vln_prefetch_create(bank._h, capacity)
+
+    def submit(self, row_ids: np.ndarray):
+        row_ids = np.ascontiguousarray(row_ids, np.int64)
+        assert len(row_ids) <= self.capacity
+        self._lib.vln_prefetch_submit(self._h, _ptr(row_ids, C.c_int64),
+                                      len(row_ids))
+
+    def wait(self) -> np.ndarray:
+        out = np.zeros((self.capacity, self.row_floats), np.float32)
+        n = self._lib.vln_prefetch_wait(self._h, _ptr(out, C.c_float))
+        if n < 0:
+            raise RuntimeError("wait() without a submitted batch")
+        return out[:n]
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.vln_prefetch_destroy(self._h)
             self._h = None
