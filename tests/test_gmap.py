@@ -154,6 +154,22 @@ def test_add_nodes_dedup_and_count():
     assert np.asarray(st2.slot_of)[1, 2] == 1
 
 
+def test_add_node_zero_with_masked_lanes():
+    """Inserting node id 0 in the same call as masked lanes must not race:
+    masked lanes used to scatter a stale value to slot_of[:, 0], and
+    duplicate-index scatter order is unspecified (regression for the
+    slot_of trash column)."""
+    st = G.gmap_init(1, 8, 10, 4)
+    nodes = jnp.asarray([[0, 4, 2, 6]], jnp.int32)
+    valid = jnp.asarray([[True, False, True, False]])
+    st = G.add_nodes(st, nodes, valid)
+    assert int(np.asarray(st.count)[0]) == 2
+    assert int(np.asarray(st.slot_of)[0, 0]) == 0   # node 0 -> slot 0
+    assert int(np.asarray(st.slot_of)[0, 2]) == 1
+    assert int(np.asarray(st.slot_of)[0, 4]) == -1  # masked lanes untouched
+    assert int(np.asarray(st.node_ids)[0, 0]) == 0
+
+
 def test_update_embeds_running_mean():
     st = G.gmap_init(1, 8, 10, 2)
     st = G.add_nodes(st, jnp.asarray([[0, 1, 2]], jnp.int32),

@@ -33,7 +33,7 @@ MAX_STEP = 10.0
 @struct.dataclass
 class GmapState:
     node_ids: jnp.ndarray   # [B, G+1] i32 (slot G = trash)
-    slot_of: jnp.ndarray    # [B, N] i32, -1 when absent
+    slot_of: jnp.ndarray    # [B, N+1] i32, -1 when absent (column N = trash)
     count: jnp.ndarray      # [B] i32
     visited: jnp.ndarray    # [B, G+1] bool
     step_ids: jnp.ndarray   # [B, G+1] i32
@@ -68,7 +68,10 @@ def gmap_init(batch: int, capacity: int, max_nodes: int,
     hops = jnp.where(eye[None], 0, 10**6).astype(jnp.int32)
     return GmapState(
         node_ids=jnp.zeros((batch, G1), jnp.int32),
-        slot_of=jnp.full((batch, max_nodes), -1, jnp.int32),
+        # one trash column so masked scatter lanes never collide with a
+        # genuine write to node id 0 (duplicate-index scatter order is
+        # unspecified)
+        slot_of=jnp.full((batch, max_nodes + 1), -1, jnp.int32),
         count=jnp.zeros((batch,), jnp.int32),
         visited=jnp.zeros((batch, G1), bool),
         step_ids=jnp.zeros((batch, G1), jnp.int32),
@@ -97,9 +100,12 @@ def add_nodes(st: GmapState, nodes: jnp.ndarray, valid: jnp.ndarray
     b = _b(B)[:, None]
     node_ids = st.node_ids.at[b, target].set(
         jnp.where(target == st.trash, st.node_ids[:, -1:], nodes))
-    slot_of = st.slot_of.at[b, jnp.where(valid & ~overflow, nodes, 0)].set(
-        jnp.where(valid & ~overflow, target,
-                  jnp.take_along_axis(st.slot_of, jnp.zeros_like(nodes), 1)))
+    # masked lanes write the trash column (not node id 0 — a same-call
+    # genuine insert of node 0 would race it with unspecified winner)
+    n_trash = st.slot_of.shape[1] - 1
+    slot_of = st.slot_of.at[b, jnp.where(valid & ~overflow, nodes,
+                                         n_trash)].set(
+        jnp.where(valid & ~overflow, target, st.slot_of[:, -1:]))
     count = jnp.minimum(st.count + jnp.sum(is_new & ~overflow, axis=1),
                         st.capacity)
     return st.replace(node_ids=node_ids, slot_of=slot_of, count=count)

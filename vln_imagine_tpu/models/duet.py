@@ -127,6 +127,14 @@ class DuetModel(nn.Module):
         if cfg.imagine_enc_pano:
             if cfg.bypass_imag_encoder:
                 self.imagine_embeddings = BypassImagineEmbeddings(cfg)
+            else:
+                # the DUET reference ships only the bypass embeddings
+                # (vilmodel.py:562 — no ImagineEmbeddings counterpart);
+                # fail loudly instead of AttributeError at first apply
+                raise ValueError(
+                    "DuetModel supports bypass_imag_encoder=True only "
+                    "(the non-bypass pano imagination encoder exists in "
+                    "the HAMT stack alone)")
             if cfg.use_cosine_aux_loss or cfg.no_loss_test:
                 self.image_proj = MLPProjectionHead(cfg)
             if cfg.e2e_imagination != "off":
@@ -230,8 +238,11 @@ class DuetModel(nn.Module):
         vp_embeds = self.local_encoder(ctx, ctx_mask, vp_embeds, vp_valid,
                                        None, deterministic)
 
-        # ---- fusion weights (vilmodel.py:1182-1197)
-        if cfg.glocal_fuse:
+        # ---- fusion weights (vilmodel.py:1182-1197).  The reference derives
+        # glocal_fuse from fusion=='dynamic' (vlnbert_init.py:59-70): only
+        # the dynamic mode uses the learned sigmoid; 'avg'/'local'/'global'
+        # weigh both branches 0.5 regardless of the glocal_fuse default.
+        if cfg.glocal_fuse and cfg.fusion == "dynamic":
             fuse = jax.nn.sigmoid(self.sap_fuse_linear(
                 jnp.concatenate([gmap_embeds[:, 0], vp_embeds[:, 0]], -1)))
         else:

@@ -53,18 +53,19 @@ def path_buffer_len(cfg: Config) -> int:
 
 
 def _append_path(path, path_len, nodes, valid):
-    """Append `nodes` (masked by `valid`) to the per-item path buffer."""
-    B, PB = path.shape
-    M = nodes.shape[1]
+    """Append `nodes` (masked by `valid`) to the per-item path buffer.
+
+    The buffer's LAST column is a dedicated trash slot (allocated over the
+    content capacity): masked lanes and overflow writes land there, so they
+    can never collide with a genuine write to the final content column
+    (duplicate-index scatter order is unspecified)."""
+    B, PBt = path.shape
+    cap = PBt - 1  # content columns [0, cap)
     offs = jnp.cumsum(valid, axis=1) - 1
-    pos = jnp.where(valid, path_len[:, None] + offs, PB - 1)
-    # PB-1 is a sacrificial slot; restore it afterwards
-    last = path[:, -1]
+    pos = jnp.where(valid, jnp.minimum(path_len[:, None] + offs, cap), cap)
     path = path.at[jnp.arange(B)[:, None], pos].set(
         jnp.where(valid, nodes, path[:, -1:]))
-    overflow = path_len + jnp.sum(valid, 1) >= PB
-    path = path.at[:, -1].set(jnp.where(overflow, path[:, -1], last))
-    return path, jnp.minimum(path_len + jnp.sum(valid, axis=1), PB)
+    return path, jnp.minimum(path_len + jnp.sum(valid, axis=1), cap)
 
 
 def rollout_duet(
@@ -117,10 +118,15 @@ def rollout_duet(
         imag_in = (ep.imagine_images if mcfg.e2e_imagination != "off"
                    else ep.imagine_feats)
         if imag_in is None:
+            if mcfg.e2e_imagination != "off":
+                raise ValueError(
+                    "e2e_imagination is on but EpisodeBatch.imagine_images "
+                    "is None — load raw images (RawImaginationImageBank / "
+                    "synthetic_episodes(imagine_image_size=...))")
             raise ValueError(
-                "e2e_imagination is on but EpisodeBatch.imagine_images is "
-                "None — load raw images (RawImaginationImageBank / "
-                "synthetic_episodes(imagine_image_size=...))")
+                "imagine_enc_pano is on but EpisodeBatch.imagine_feats is "
+                "None — load precomputed imagination features "
+                "(ImaginationImageFeaturesDB) or disable imagination")
         imagine_embeds = apply(DuetModel.imagine, imag_in, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
             aux_loss, imagine_embeds = apply(
@@ -139,7 +145,7 @@ def rollout_duet(
     gm = G.add_edges(gm, state0.node, obs0.cand_nodes, edge_w, obs0.cand_valid)
     gm = G.relax(gm, state0.node, all_active)
 
-    path0 = jnp.zeros((B, PB), jnp.int32)
+    path0 = jnp.zeros((B, PB + 1), jnp.int32)  # +1: trash column
     path0 = path0.at[:, 0].set(ep.start_node)
     plen0 = jnp.ones((B,), jnp.int32)
     dtw_row0 = envx.dtw_init(tables, ep)
@@ -159,13 +165,15 @@ def rollout_duet(
         return jax.lax.fori_loop(0, hop_nodes.shape[1], body, row)
 
     def step_fn(carry, t):
-        (st, gm, path, plen, dtw_row, last_dist, last_ndtw, node_obj,
+        (st, gm, obs, path, plen, dtw_row, last_dist, last_ndtw, node_obj,
          pred_obj, ml_acc, og_acc, ent_acc, key) = carry
+        # `obs` observes the CURRENT state: computed once per step and
+        # carried — the end-of-body observation of the new node doubles as
+        # the next iteration's input (halves the per-step feature gathers)
         key, k_pano, k_nav, k_act = jax.random.split(key, 4)
         active = ~st.ended
 
         gm = G.set_visited(gm, st.node, t, active)
-        obs = envx.observe_duet(tables, ep, st, mcfg.angle_feat_size)
 
         pano = apply(DuetModel.panorama_per_step, obs.img, obs.loc,
                      obs.nav_types, obs.valid, rngs_key=k_pano)
@@ -284,7 +292,42 @@ def rollout_duet(
 
         # ---------------- teacher (agent.py:241-287, _teacher_action_r4r)
         no_vp_left = ~jnp.any(gvalid_s & ~gvisited_s, axis=1)
-        if feedback == "teacher":
+        if mcfg.fusion == "local":
+            # local action space: [stop] + current candidates (the reference
+            # passes vp_cand_vpids as nav_vpids under fusion='local',
+            # agent.py:521-529), so targets index candidate tokens 1..K
+            if feedback == "teacher":
+                tgt_node_l = jnp.take_along_axis(
+                    ep.gt_path, jnp.broadcast_to(
+                        jnp.clip(t + 1, 0, ep.gt_path.shape[1] - 1),
+                        (B,))[:, None], axis=1)[:, 0]
+                match = (obs.cand_nodes == tgt_node_l[:, None]) \
+                    & obs.cand_valid
+                slot = jnp.argmax(match, axis=1) + 1
+                has_match = jnp.any(match, axis=1)
+                is_stop = t >= ep.gt_len - 1
+                teacher = jnp.where(is_stop, 0,
+                                    jnp.where(has_match, slot, ignore))
+            else:
+                if expert_policy == "ndtw":
+                    rows_c = jnp.broadcast_to(
+                        dtw_row[:, None, :], (B, K) + dtw_row.shape[1:])
+                    rows_c = envx.dtw_push_multi(tables, ep, rows_c,
+                                                 obs.cand_nodes)
+                    ndtw_c = envx.dtw_ndtw_multi(rows_c, ep,
+                                                 ecfg.error_margin)
+                    ccost = jnp.where(obs.cand_valid, -ndtw_c, INF)
+                else:  # 'spl'
+                    ccost = (dist_full[ep.scan[:, None], obs.cand_nodes,
+                                       goal[:, None]]
+                             + dist_full[ep.scan[:, None], st.node[:, None],
+                                         obs.cand_nodes])
+                    ccost = jnp.where(obs.cand_valid, ccost, INF)
+                slot = jnp.argmin(ccost, axis=1) + 1
+                any_choice = jnp.any(obs.cand_valid, axis=1)
+                teacher = jnp.where(st.node == goal, 0,
+                                    jnp.where(any_choice, slot, ignore))
+        elif feedback == "teacher":
             tgt_node = jnp.take_along_axis(
                 ep.gt_path, jnp.broadcast_to(
                     jnp.clip(t + 1, 0, ep.gt_path.shape[1] - 1),
@@ -379,23 +422,46 @@ def rollout_duet(
         # its own stop, so the sampled stop action is honoured.
         if train_rl or feedback not in ("teacher", "sample"):
             a_t_stop = a_t == 0
+            end_in_place = jnp.zeros((B,), bool)
         else:
             a_t_stop = st.node == jnp.take_along_axis(
                 ep.gt_path, (ep.gt_len - 1)[:, None], 1)[:, 0]
+            # a *sampled* stop away from the goal ends the episode in place
+            # with no stop-score backtrack (reference: nav_vpids[0] is None,
+            # so cpu_a_t=None only sets `ended`, agent.py:584,610 — the
+            # just_ended backtrack branch never fires for it)
+            end_in_place = ((a_t == 0) & ~a_t_stop
+                            if feedback == "sample"
+                            else jnp.zeros((B,), bool))
         stop_now = (a_t_stop | st.ended | no_vp_left
-                    | (a_t == ignore) | (t == T - 1))
+                    | (a_t == ignore) | (t == T - 1) | end_in_place)
         just_ended = stop_now & ~st.ended
 
-        tgt_slot = jnp.clip(a_t - 1, 0, Gcap - 1)
-        tgt_node = jnp.where(stop_now, st.node,
-                             jnp.take_along_axis(gnodes, tgt_slot[:, None],
-                                                 1)[:, 0])
+        if mcfg.fusion == "local":
+            # a_t-1 indexes the current candidate list, not gmap slots
+            cand_idx = jnp.clip(a_t - 1, 0, K - 1)
+            move_tgt = jnp.take_along_axis(obs.cand_nodes,
+                                           cand_idx[:, None], 1)[:, 0]
+        else:
+            tgt_slot = jnp.clip(a_t - 1, 0, Gcap - 1)
+            move_tgt = jnp.take_along_axis(gnodes, tgt_slot[:, None],
+                                           1)[:, 0]
+        tgt_node = jnp.where(stop_now, st.node, move_tgt)
 
         # ---------------- teleport along the observed path (agent.py:289-305)
         hop_nodes, hop_valid = G.follow_path(gm, st.node, tgt_node,
                                              MAX_TELEPORT_HOPS)
         moving = ~stop_now & ~st.ended
         hop_valid = hop_valid & moving[:, None]
+        # hop-cap guard: the agent occupies tgt_node regardless, so when the
+        # observed path is longer than the cap, force the endpoint into the
+        # recorded trajectory (a gap mid-path beats a wrong endpoint — the
+        # endpoint decides success/SPL; the reference appends the full path)
+        reached = jnp.any((hop_nodes == tgt_node[:, None]) & hop_valid, 1)
+        need_fix = moving & ~reached
+        hop_nodes = hop_nodes.at[:, -1].set(
+            jnp.where(need_fix, tgt_node, hop_nodes[:, -1]))
+        hop_valid = hop_valid.at[:, -1].set(hop_valid[:, -1] | need_fix)
         path, plen = _append_path(path, plen, hop_nodes, hop_valid)
         dtw_row = _dtw_extend(dtw_row, hop_nodes, hop_valid)
 
@@ -421,14 +487,22 @@ def rollout_duet(
                                              best_stop_slot[:, None], 1)[:, 0]
         has_score = jnp.any(jnp.isfinite(
             jnp.where(gm.valid() & gm.visited, gm.stop_scores, -jnp.inf)), 1)
-        do_back = just_ended & has_score & (best_stop_node != st.node)
+        do_back = (just_ended & ~end_in_place & has_score
+                   & (best_stop_node != st.node))
         back_nodes, back_valid = G.follow_path(gm, st.node, best_stop_node,
                                                MAX_BACKTRACK_HOPS)
         back_valid = back_valid & do_back[:, None]
+        b_reached = jnp.any(
+            (back_nodes == best_stop_node[:, None]) & back_valid, 1)
+        b_fix = do_back & ~b_reached
+        back_nodes = back_nodes.at[:, -1].set(
+            jnp.where(b_fix, best_stop_node, back_nodes[:, -1]))
+        back_valid = back_valid.at[:, -1].set(back_valid[:, -1] | b_fix)
         path, plen = _append_path(path, plen, back_nodes, back_valid)
         dtw_row = _dtw_extend(dtw_row, back_nodes, back_valid)
         if use_obj:
-            stop_slot_final = jnp.where(has_score & just_ended,
+            stop_slot_final = jnp.where(has_score & just_ended
+                                        & ~end_in_place,
                                         best_stop_slot,
                                         jnp.take_along_axis(
                                             gm.slot_of, st.node[:, None],
@@ -480,8 +554,8 @@ def rollout_duet(
                          obs2.cand_valid & active2[:, None])
         gm = G.relax(gm, st2.node, active2)
 
-        carry = (st2, gm, path, plen, dtw_row, last_dist, last_ndtw, node_obj,
-                 pred_obj, ml_acc, og_acc, ent_acc, key)
+        carry = (st2, gm, obs2, path, plen, dtw_row, last_dist, last_ndtw,
+                 node_obj, pred_obj, ml_acc, og_acc, ent_acc, key)
         return carry, (nav_logits, a_t, logp_a, ent, state_vec, reward,
                        rl_mask)
 
@@ -490,8 +564,8 @@ def rollout_duet(
     pred_obj0 = jnp.full((B,), -1, jnp.int32)
     last_dist0 = envx.distance_to_goal(tables, ep, state0.node)
     last_ndtw0 = envx.dtw_ndtw(dtw_row0, ep, ecfg.error_margin)
-    carry0 = (state0, gm, path0, plen0, dtw_row0, last_dist0, last_ndtw0,
-              node_obj0, pred_obj0,
+    carry0 = (state0, gm, obs0, path0, plen0, dtw_row0, last_dist0,
+              last_ndtw0, node_obj0, pred_obj0,
               jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), k_scan)
     if early_exit:
         # inference-only while_loop: stop once every episode has ended
@@ -510,8 +584,9 @@ def rollout_duet(
 
         _, carry = jax.lax.while_loop(
             cond_fn, body_fn, (jnp.asarray(0, jnp.int32), carry0))
-        (stT, gmT, pathT, plenT, _, _, _, _, pred_objT, _, _, ent_acc,
+        (stT, gmT, _, pathT, plenT, _, _, _, _, pred_objT, _, _, ent_acc,
          _) = carry
+        pathT = pathT.at[:, -1].set(0)  # trash column: deterministic output
         loss = (mcfg.cosine_weight * aux_loss if mcfg.use_cosine_aux_loss
                 else jnp.asarray(0.0))
         return DuetRolloutResult(
@@ -521,8 +596,9 @@ def rollout_duet(
             pred_obj=pred_objT, rl_loss=jnp.asarray(0.0))
 
     carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
-    (stT, gmT, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc, ent_acc,
-     _) = carry
+    (stT, gmT, _, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc,
+     ent_acc, _) = carry
+    pathT = pathT.at[:, -1].set(0)  # trash column: deterministic output
     logits_seq, actions, logps, entropys, states, rewards, masks = ys
 
     ml_loss = jnp.asarray(0.0)

@@ -134,10 +134,15 @@ def rollout_hamt(
         imag_in = (ep.imagine_images if mcfg.e2e_imagination != "off"
                    else ep.imagine_feats)
         if imag_in is None:
+            if mcfg.e2e_imagination != "off":
+                raise ValueError(
+                    "e2e_imagination is on but EpisodeBatch.imagine_images "
+                    "is None — load raw images (RawImaginationImageBank / "
+                    "synthetic_episodes(imagine_image_size=...))")
             raise ValueError(
-                "e2e_imagination is on but EpisodeBatch.imagine_images is "
-                "None — load raw images (RawImaginationImageBank / "
-                "synthetic_episodes(imagine_image_size=...))")
+                "imagine_enc_pano is on but EpisodeBatch.imagine_feats is "
+                "None — load precomputed imagination features "
+                "(ImaginationImageFeaturesDB) or disable imagination")
         imagine_embeds = apply(HamtModel.imagine, imag_in,
                                ep.imagine_mask, rngs_key=r_imag)
         if mcfg.use_cosine_aux_loss:
