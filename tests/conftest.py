@@ -13,3 +13,9 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: repeated suite runs (and repeated tests that
+# trace the same shapes) skip recompiles.  Same trick bench.py uses.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VLN_JAX_CACHE", "/tmp/vln_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
