@@ -48,11 +48,18 @@ def parse_args():
                    help="ViT class-prob size for MRC soft labels "
                         "(r2r_model_config.json image_prob_size)")
     # data
+    p.add_argument("--grad-accum", type=int, default=None,
+                   help="gradient accumulation micro-steps per optimizer "
+                        "update (main_r2r.py:240-280)")
+    # data
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--connectivity-dir")
     p.add_argument("--anno-dir")
     p.add_argument("--img-features")
     p.add_argument("--split", default="train")
+    p.add_argument("--val-splits", nargs="*", default=None,
+                   help="held-out validation splits (reference default: "
+                        "val_seen val_unseen, main_r2r.py:303-316)")
     p.add_argument("--resume")
     return p.parse_args()
 
@@ -90,24 +97,33 @@ def main():
             args.mix_ratio or [1] * len(args.tasks))
     elif args.mix_ratio is not None:
         overrides["mix_ratio"] = tuple(args.mix_ratio)
+    if args.grad_accum is not None:
+        overrides["gradient_accumulation_steps"] = args.grad_accum
     cfg = _replace(cfg, "pretrain", **overrides)
 
     # trajectory source: the train-split episodes over the compiled world
     # (MultiStepNavData loads the same annotations offline, r2r_data.py:95)
     from train import build_real, build_synthetic  # sibling scripts/train.py
+    val_splits = []
     if args.synthetic:
-        tables, train, _ = build_synthetic(cfg)
+        tables, train, vals = build_synthetic(cfg)
+        if args.val_splits is not None:
+            val_splits = [v for v in vals if v.name in args.val_splits]
     else:
-        args.splits = [args.split]
+        val_names = (args.val_splits if args.val_splits is not None
+                     else ["val_seen", "val_unseen"])
+        args.splits = [args.split] + val_names
         args.imagine_features = None
         args.sub_instr_file = getattr(args, "sub_instr_file", None)
         args.generated_flag_file = getattr(args, "generated_flag_file", None)
-        tables, train, _, _ = build_real(cfg, args)
+        tables, train, val_splits, _ = build_real(cfg, args)
 
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer
     pt = cls(cfg, tables, train.episodes,
              image_prob_size=args.image_prob_size, seed=args.seed)
+    for v in val_splits:
+        pt.add_validation_split(v.name, tables, v.episodes, seed=args.seed)
     state = pt.init_state()
 
     os.makedirs(args.log_dir, exist_ok=True)
@@ -124,16 +140,23 @@ def main():
         write_to_record_file(str(msg), record)
 
     pcfg = cfg.pretrain
+    # state.step counts micro-steps; the training budget counts optimizer
+    # updates (reference global_step), so scale by the accumulation factor
+    accum = max(pcfg.gradient_accumulation_steps, 1)
+    total_micro = pcfg.num_train_steps * accum
     done = int(state.step)
-    while done < pcfg.num_train_steps:
-        chunk = min(pcfg.valid_steps, pcfg.num_train_steps - done)
-        state, summary = pt.train(state, chunk, log_every=pcfg.log_steps,
+    while done < total_micro:
+        chunk = min(pcfg.valid_steps * accum, total_micro - done)
+        state, summary = pt.train(state, chunk,
+                                  log_every=pcfg.log_steps * accum,
                                   log_fn=log)
         done = int(state.step)
-        metrics = pt.validate(state)
-        log(f"valid @ step {done}: "
-            + "  ".join(f"{t} loss={m['loss']:.4f} acc={m['acc']:.4f}"
-                        for t, m in metrics.items()))
+        for vname in (pt.val_batchers or {None: None}):
+            metrics = pt.validate(state, split=vname)
+            tag = f" [{vname}]" if vname else ""
+            log(f"valid @ step {done}{tag}: "
+                + "  ".join(f"{t} loss={m['loss']:.4f} acc={m['acc']:.4f}"
+                            for t, m in metrics.items()))
         path = os.path.join(os.path.abspath(args.log_dir),
                             f"model_step_{done}")
         ckpt.save(path, jax.tree.map(np.asarray, state), force=True)

@@ -31,11 +31,44 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
+    # model/objective knobs mirroring the reference parser
+    # (VLN-HAMT/finetune_src/r2r/parser.py:107-129, VLN-DUET map_nav_src
+    # parser): each released run-script config is one CLI line
+    p.add_argument("--fusion", choices=["dynamic", "avg", "local", "global"],
+                   default=None, help="DUET branch fusion (parser.py)")
+    p.add_argument("--train-alg",
+                   choices=["imitation", "dagger", "sample"], default=None,
+                   help="imitation/dagger (DUET) or sample = IL+RL (HAMT)")
+    p.add_argument("--aux-loss-type",
+                   choices=["cosine", "infonce", "margin"], default=None)
+    p.add_argument("--cosine-weight", type=float, default=None)
+    p.add_argument("--infonce-temperature", type=float, default=None)
+    p.add_argument("--contrastive-margin", type=float, default=None)
+    p.add_argument("--act-pred-token", default=None,
+                   choices=["ob", "ob_txt", "ob_hist", "ob_txt_hist",
+                            "ob_imagine_text"])
+    p.add_argument("--expl-sample", action="store_true",
+                   help="DUET dagger exploration sampling (agent.py:555-565)")
+    p.add_argument("--expl-max-ratio", type=float, default=None)
+    p.add_argument("--ml-weight", type=float, default=None)
+    p.add_argument("--no-cosine-aux-loss", action="store_true")
+    p.add_argument("--no-imagination", action="store_true",
+                   help="disable the imagination modality entirely")
+    p.add_argument("--imagination-v1", action="store_true",
+                   help="v1 imagination features: densely packed per "
+                        "instruction, no generated-flag JSON "
+                        "(_create_diffusion_imaginations, agent_cmt.py:217)")
     # data
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--connectivity-dir")
     p.add_argument("--anno-dir")
     p.add_argument("--img-features")
+    # REVERIE/SOON object grounding data (reverie/data_utils.py:9-124)
+    p.add_argument("--obj-features",
+                   help="HDF5 '<scan>_<viewpoint>' object features")
+    p.add_argument("--obj-bbox-file",
+                   help="BBoxes json for obj2vps goal viewpoints")
+    p.add_argument("--max-objects", type=int, default=20)
     p.add_argument("--imagine-features")
     p.add_argument("--sub-instr-file")
     p.add_argument("--generated-flag-file")
@@ -99,12 +132,14 @@ def build_real(cfg, args):
         AuxMetadata,
         construct_instrs,
         episodes_from_annotations,
+        ndh_episodes_from_annotations,
     )
     from vln_imagine_tpu.data.features import (
         ImageFeaturesDB,
         ImaginationImageFeaturesDB,
         build_feature_table,
         build_imagination_arrays,
+        build_imagination_arrays_v1,
     )
     from vln_imagine_tpu.driver import SplitData
     from vln_imagine_tpu.envx.compiler import compile_world, load_connectivity
@@ -120,6 +155,24 @@ def build_real(cfg, args):
                                cfg.model.image_feat_size)
     world = compile_world(graphs, max_candidates=cfg.env.max_candidates,
                           views=cfg.env.views, feat=feat)
+    obj_id_fn = None
+    if getattr(args, "obj_features", None) and cfg.model.obj_feat_size > 0:
+        # REVERIE/SOON grounding: dense object tables; table visibility
+        # equals the reference's obj2vps map (reverie/data_utils.py:113-124)
+        from vln_imagine_tpu.data.features import (
+            ObjectFeatureDB, build_object_tables)
+        obj_db = ObjectFeatureDB(args.obj_features, cfg.model.obj_feat_size)
+        o_feat, o_ang, o_valid, o_ids, id_of = build_object_tables(
+            obj_db, graphs, args.max_objects, cfg.model.obj_feat_size,
+            max_nodes=world.node_xyz.shape[1])
+        world = world.replace(obj_feat=o_feat, obj_ang=o_ang,
+                              obj_valid=o_valid, obj_ids=o_ids)
+
+        def obj_id_fn(raw):
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                return id_of.get(str(raw), 0)
     tables = jax.tree.map(jnp.asarray, world)
 
     meta = AuxMetadata.load(args.sub_instr_file, args.generated_flag_file)
@@ -141,12 +194,26 @@ def build_real(cfg, args):
 
     def make_split(name):
         items = all_items[name]
+        if args.dataset == "cvdn":
+            # NDH: sampled-goal shortest-path supervision + goal-pano list
+            # for goal-progress eval (NDHNavBatch, cvdn/env.py:30-130)
+            ep, ids, end_panos = ndh_episodes_from_annotations(
+                items, graphs, cfg.env.max_instr_len,
+                cfg.env.max_gt_path_len, cfg.model.max_imagination_len,
+                rng=__import__("numpy").random.default_rng(cfg.train.seed),
+                use_player_path=(name == "train"))
+            return SplitData(name, ep, ids, end_panos=end_panos)
         instr_ids = [it["instr_id"] for it in items]
-        imagine = images = None
+        imagine = images = mask_override = None
         if image_bank is not None and meta.generated_flags:
             images, _ = image_bank.batch_images(
                 instr_ids, meta.generated_flags,
                 cfg.model.max_imagination_len)
+        elif imag_db is not None and not cfg.model.imagination_data_v2:
+            # v1: densely packed features, first-n mask, no flag JSON
+            imagine, mask_override = build_imagination_arrays_v1(
+                imag_db, instr_ids, cfg.model.max_imagination_len,
+                cfg.model.hidden_size)
         elif imag_db is not None and meta.generated_flags:
             imagine, _ = build_imagination_arrays(
                 imag_db, instr_ids, meta.generated_flags,
@@ -154,7 +221,8 @@ def build_real(cfg, args):
         ep, ids = episodes_from_annotations(
             items, graphs, meta, cfg.env.max_instr_len,
             cfg.env.max_gt_path_len, cfg.model.max_imagination_len, imagine,
-            imagine_images=images)
+            imagine_images=images, imagine_mask_override=mask_override,
+            obj_id_fn=obj_id_fn, imagine_feat_dim=cfg.model.hidden_size)
         return SplitData(name, ep, ids)
 
     train = make_split(args.splits[0])
@@ -165,23 +233,50 @@ def build_real(cfg, args):
 def main():
     args = parse_args()
     from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
-        tiny_test_config, _replace
+        reverie_config, rxr_config, tiny_test_config, _replace
     from vln_imagine_tpu.driver import FinetuneDriver
 
     if args.synthetic:
         cfg = tiny_test_config(args.agent)
+    elif args.dataset in ("reverie", "soon"):
+        cfg = reverie_config(args.agent)
+    elif args.dataset == "rxr" and args.agent == "hamt":
+        cfg = rxr_config()
     else:
         cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
     cfg = cfg.replace(dataset=args.dataset)
     overrides = {}
-    for k in ("iters", "log_every", "batch_size", "lr"):
-        v = getattr(args, k.replace("-", "_"), None)
+    for k in ("iters", "log_every", "batch_size", "lr", "train_alg",
+              "ml_weight", "expl_max_ratio"):
+        v = getattr(args, k, None)
         if v is not None:
             overrides[k] = v
     overrides["seed"] = args.seed
+    if args.expl_sample:
+        overrides["expl_sample"] = True
+    # the reference maps train_alg='sample' to the HAMT IL+RL feedback
+    # (agent_cmt.py:799); imitation/dagger are the DUET algorithms
     cfg = _replace(cfg, "train", **overrides)
+    model_over = {}
+    for k in ("fusion", "aux_loss_type", "act_pred_token", "cosine_weight"):
+        v = getattr(args, k, None)
+        if v is not None:
+            model_over[k] = v
+    if args.infonce_temperature is not None:
+        model_over["infonce_temperature"] = args.infonce_temperature
+    if args.contrastive_margin is not None:
+        model_over["contrastive_margin_value"] = args.contrastive_margin
+    if args.no_cosine_aux_loss:
+        model_over["use_cosine_aux_loss"] = False
+    if args.no_imagination:
+        model_over["imagine_enc_pano"] = False
+        model_over["use_cosine_aux_loss"] = False
+    if args.imagination_v1:
+        model_over["imagination_data_v2"] = False
     if args.e2e_imagination != "off":
-        cfg = _replace(cfg, "model", e2e_imagination=args.e2e_imagination)
+        model_over["e2e_imagination"] = args.e2e_imagination
+    if model_over:
+        cfg = _replace(cfg, "model", **model_over)
 
     graphs = None
     if args.synthetic:

@@ -154,3 +154,59 @@ def test_raw_image_bank_scatter(tmp_path):
     assert imgs[0, 0, 0, 0, 0] == 1 and imgs[0, 2, 0, 0, 0] == 2
     assert imgs[1, 0, 0, 0, 0] == 3
     assert (imgs[0, 1] == 0).all()
+
+
+def test_imagination_v1_dense_packing():
+    """V1 format (_create_diffusion_imaginations, agent_cmt.py:217-246):
+    features packed densely from slot 0, first-n mask, no flag JSON."""
+    from vln_imagine_tpu.data.features import build_imagination_arrays_v1
+
+    db = InMemoryFeaturesDB({
+        "i1": np.arange(6, dtype=np.float32).reshape(2, 3),
+        "i2": np.arange(12, dtype=np.float32).reshape(4, 3),
+    })
+    feats, mask = build_imagination_arrays_v1(db, ["i1", "i2"],
+                                              max_imaginations=3, feat_dim=3)
+    np.testing.assert_array_equal(mask, [[True, True, False],
+                                         [True, True, True]])
+    np.testing.assert_allclose(feats[0, 0], [0, 1, 2])
+    np.testing.assert_allclose(feats[0, 2], [0, 0, 0])
+    # overflow rows beyond max_imaginations are dropped
+    np.testing.assert_allclose(feats[1, 2], [6, 7, 8])
+
+
+def test_episodes_respect_v1_mask_override():
+    from vln_imagine_tpu.data.annotations import (
+        AuxMetadata, episodes_from_annotations)
+    from vln_imagine_tpu.envx.synthetic import random_scan_graph
+
+    g = random_scan_graph(np.random.default_rng(0), "sc", 8)
+    items = [{"instr_id": "1_0", "scan": "sc",
+              "path": [g.node_ids[0], g.node_ids[1]],
+              "instr_encoding": [1, 2, 3]}]
+    override = np.array([[True, True, False, False]])
+    ep, _ = episodes_from_annotations(
+        items, [g], AuxMetadata(), max_instr_len=8, max_gt_path_len=4,
+        max_imaginations=4, imagine_mask_override=override)
+    np.testing.assert_array_equal(np.asarray(ep.imagine_mask), override)
+
+
+def test_episodes_populate_midstop():
+    """r2r_back annotations carry a 'midstop' viewpoint per item
+    (R2RBackBatch, VLN-HAMT/finetune_src/r2r/env.py:434-435)."""
+    from vln_imagine_tpu.data.annotations import (
+        AuxMetadata, episodes_from_annotations)
+    from vln_imagine_tpu.envx.synthetic import random_scan_graph
+
+    g = random_scan_graph(np.random.default_rng(1), "sc", 8)
+    items = [{"instr_id": "1_0", "scan": "sc",
+              "path": [g.node_ids[0], g.node_ids[3], g.node_ids[0]],
+              "midstop": g.node_ids[3], "instr_encoding": [1, 2]},
+             {"instr_id": "2_0", "scan": "sc",
+              "path": [g.node_ids[2], g.node_ids[4], g.node_ids[2]],
+              "midstop": g.node_ids[4], "instr_encoding": [3]}]
+    ep, _ = episodes_from_annotations(
+        items, [g], AuxMetadata(), max_instr_len=8, max_gt_path_len=4,
+        max_imaginations=2)
+    assert ep.midstop is not None
+    np.testing.assert_array_equal(np.asarray(ep.midstop), [3, 4])

@@ -113,3 +113,56 @@ def test_pretrained_weights_transfer_to_finetune(hamt_pt):
     # imagination modules are finetune-only: they stay at init
     assert "imagine_embeddings" in {m for m, _ in missing} or \
         any("imagine" in m for m, _ in missing)
+
+
+def test_gradient_accumulation_updates_every_k():
+    """PretrainConfig.gradient_accumulation_steps: params change only on
+    every k-th micro-step, matching main_r2r.py:240-280 (loss/k per
+    micro-batch + optimizer.step every k == one update on the mean grad)."""
+    cfg, world, _, ep = _setup("hamt", tasks=("mlm",), mix=(1,))
+    # warmup_steps=1 so the SECOND optimizer update has a real LR (the
+    # linear warm-up makes the very first update lr=0 by construction)
+    cfg = _replace(cfg, "pretrain", gradient_accumulation_steps=2,
+                   warmup_steps=1)
+    pt = HamtPretrainer(cfg, world, ep, image_prob_size=16, donate=False)
+    state = pt.init_state()
+
+    def snap(s):
+        return jax.tree.map(np.asarray, s.params)
+
+    # micro-steps 1..3: updates may only land on micro-step 2 (k=2)
+    states = [state]
+    for _ in range(4):
+        s, _ = pt.train(states[-1], 1)
+        states.append(s)
+    p = [snap(s) for s in states]
+
+    def unchanged(a, b):
+        return all(np.array_equal(x, y) for x, y in zip(
+            jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+    assert unchanged(p[0], p[1]), "no update on micro-step 1"
+    assert unchanged(p[2], p[3]), "no update on micro-step 3"
+    assert not unchanged(p[3], p[4]), \
+        "params must update on the k-th micro-step (update #2, lr>0)"
+
+
+def test_validation_uses_heldout_split():
+    """validate(split=...) draws from the registered held-out batcher
+    (main_r2r.py:303-316 validates seen/unseen, not the train loader)."""
+    cfg, world, world_np, ep = _setup("hamt", tasks=("mlm",), mix=(1,))
+    val_ep = synthetic_episodes(
+        world_np, batch=6, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=77)
+    pt = HamtPretrainer(cfg, world, ep, image_prob_size=16, donate=False)
+    pt.add_validation_split("val_unseen", world, val_ep, seed=3)
+    state = pt.init_state()
+    out_val = pt.validate(state, batch_size=4, num_batches=2,
+                          split="val_unseen")
+    assert set(out_val) == {"mlm"}
+    assert np.isfinite(out_val["mlm"]["loss"])
+    # the val batcher is a distinct sampler over distinct episodes
+    assert pt.val_batchers["val_unseen"] is not pt.batcher

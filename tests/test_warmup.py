@@ -56,8 +56,8 @@ def test_stage_learning_rates():
     """main.py:204-205: contrastive lrs (10x, 5x, 0.1x) and bert lrs
     (base-but-frozen, 0.1x, 0.1x)."""
     lr, iters = 1e-5, 100_000
-    aux = _staged_schedule(lr, iters, (10.0, 5.0, 0.1))
-    rest = _staged_schedule(lr, iters, (1.0, 0.1, 0.1))
+    aux = _staged_schedule(iters // 4, iters // 2, lr, (10.0, 5.0, 0.1))
+    rest = _staged_schedule(iters // 4, iters // 2, lr, (1.0, 0.1, 0.1))
     assert np.isclose(aux(0), lr * 10)
     assert np.isclose(aux(24_999), lr * 10)
     assert np.isclose(aux(25_000), lr * 5)

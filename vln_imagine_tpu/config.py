@@ -115,7 +115,8 @@ class EnvConfig:
 
     views: int = 36  # discretized 30-degree viewpoints
     max_candidates: int = 14  # max graph degree observed in MP3D is ~13
-    max_obs_tokens: int = 48  # cands + [STOP] + non-cand pano views, padded
+    # obs token capacity is derived: max_candidates + 1 (stop) + views
+    # (envx.env.obs_tokens)
     max_nodes: int = 352  # max viewpoints per scan (padded across scans)
     max_action_len: int = 15  # HAMT episode cap (DUET also 15 in released cfg)
     max_instr_len: int = 60  # HAMT 60, DUET 200
@@ -159,8 +160,10 @@ class TrainConfig:
     # Three-stage imagination warm-up (parser.py:112-113, main.py:200-278).
     experimental_warmup: bool = True
     experimental_warmup_type: str = "variant4"
-    warmup_stage1_iters: int = 2000  # train aux/imagine modules only
-    warmup_stage2_iters: int = 4000  # unfreeze rest at reduced lr
+    # stage END boundaries of the variant4 warm-up; -1 reproduces the
+    # reference's hardcoded 0.25*iters / 0.5*iters (main.py:230,244)
+    warmup_stage1_iters: int = -1  # train aux/imagine modules only until here
+    warmup_stage2_iters: int = -1  # rest unfrozen at reduced lr until here
     seed: int = 0
 
 
@@ -222,6 +225,9 @@ def hamt_r2r_config() -> Config:
         max_action_steps=50, act_pred_token="ob_txt",
     )
     cfg = _replace(cfg, "env", max_instr_len=60)
+    # IL (teacher-forced, ml_weight) + sampled A2C per iteration
+    # (agent_cmt.py:807-832, feedback='sample')
+    cfg = _replace(cfg, "train", train_alg="sample")
     return cfg
 
 
@@ -285,7 +291,7 @@ def tiny_test_config(agent: str = "hamt") -> Config:
     )
     cfg = _replace(
         cfg, "env",
-        max_candidates=7, max_obs_tokens=20, max_nodes=24, views=12,
+        max_candidates=7, max_nodes=24, views=12,
         max_action_len=6, max_instr_len=16, max_gt_path_len=6,
         max_gmap_nodes=24,
     )

@@ -51,8 +51,27 @@ def load_instr_datasets(anno_dir: str, dataset: str,
             # NDH annotations arrive pre-encoded with the concatenated
             # dialog history (cvdn/main.py:24-27)
             path = os.path.join(anno_dir, f"{split}_enc.json")
-        elif dataset in ("reverie", "soon"):
-            path = os.path.join(anno_dir, f"{dataset.upper()}_{split}_enc.json")
+        elif dataset == "reverie":
+            path = os.path.join(anno_dir, f"REVERIE_{split}_enc.json")
+        elif dataset == "soon":
+            # SOON ships jsonl with per-instruction dicts + goal bboxes
+            # (soon/data_utils.py:27-54)
+            path = os.path.join(anno_dir, "bert_enc",
+                                f"{split}_enc_pseudo_obj_label.jsonl")
+            if not os.path.exists(path):
+                path = os.path.join(anno_dir, "bert_enc",
+                                    f"{split}_enc.jsonl")
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    item = json.loads(line)
+                    item["end_image_ids"] = [x["image_id"]
+                                             for x in item["bboxes"]]
+                    item["bboxes"] = {x["image_id"]: x
+                                      for x in item["bboxes"]}
+                    data.append(item)
+            continue
         else:
             raise ValueError(dataset)
         with open(path) as f:
@@ -78,12 +97,35 @@ def construct_instrs(anno_dir: str, dataset: str, splits: list[str],
             out.append(new_item)
             continue
         for j, instr in enumerate(item["instructions"]):
-            if j >= max_instrs_per_path and not aug_flag:
+            if j >= max_instrs_per_path and not aug_flag \
+                    and dataset not in ("reverie", "soon"):
                 continue
             new_item = dict(item)
-            new_item["instr_id"] = f"{item['path_id']}_{j}"
-            new_item["instruction"] = instr
-            new_item["instr_encoding"] = item["instr_encodings"][j]
+            if dataset == "reverie":
+                # '<path_id>_<objId>_<j>' (reverie/data_utils.py:94-111)
+                if item.get("objId") is not None:
+                    new_item["instr_id"] = \
+                        f"{item['path_id']}_{item['objId']}_{j}"
+                else:
+                    new_item["path_id"] = item["id"]
+                    new_item["instr_id"] = f"{item['id']}_{j}"
+                    new_item["objId"] = None
+                new_item["instruction"] = instr
+                enc = item["instr_encodings"][j]
+            elif dataset == "soon":
+                # per-instruction dict with 'full' text variant
+                # (soon/data_utils.py:56-70)
+                new_item["instr_id"] = f"{item['path_id']}_{j}"
+                new_item["instruction"] = instr["full"] \
+                    if isinstance(instr, dict) else instr
+                enc = item["instr_encodings"][j]
+                if isinstance(enc, dict):
+                    enc = enc["full"]
+            else:
+                new_item["instr_id"] = f"{item['path_id']}_{j}"
+                new_item["instruction"] = instr
+                enc = item["instr_encodings"][j]
+            new_item["instr_encoding"] = enc
             new_item.pop("instructions", None)
             new_item.pop("instr_encodings", None)
             out.append(new_item)
@@ -165,8 +207,16 @@ def episodes_from_annotations(
     max_imaginations: int,
     imagine_feats: np.ndarray | None = None,
     imagine_images: np.ndarray | None = None,
+    imagine_mask_override: np.ndarray | None = None,
+    obj_id_fn=None,
+    imagine_feat_dim: int = 768,
 ) -> tuple[EpisodeBatch, list[str]]:
-    """Annotation dicts -> EpisodeBatch (+ instr_id list for eval joins)."""
+    """Annotation dicts -> EpisodeBatch (+ instr_id list for eval joins).
+
+    imagine_mask_override: [B, I] validity mask to use instead of the
+    generated-flag-derived one — the v1 imagination format
+    (`_create_diffusion_imaginations`, agent_cmt.py:217-246) packs features
+    densely with a first-n mask and has no generated-flag JSON."""
     scan_index = {g.scan_id: s for s, g in enumerate(graphs)}
     id_maps = {g.scan_id: g.id_to_index for g in graphs}
     B = len(items)
@@ -182,6 +232,20 @@ def episodes_from_annotations(
     np_w = np.zeros((B, I, L), np.float32)
     imagine_mask = np.zeros((B, I), bool)
     instr_ids = []
+    # r2r_back: annotations carry a 'midstop' viewpoint id per item
+    # (R2RBackBatch reads it at VLN-HAMT/finetune_src/r2r/env.py:434-435)
+    has_midstop = any("midstop" in item for item in items)
+    midstop = np.full(B, -1, np.int32) if has_midstop else None
+    # REVERIE/SOON: the grounding target object id (item['objId'], interned
+    # to the same int space as WorldTables.obj_ids by obj_id_fn)
+    has_obj = any(item.get("objId") is not None for item in items)
+    gt_obj = np.zeros(B, np.int32) if has_obj else None
+    if obj_id_fn is None:
+        def obj_id_fn(raw):
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                return 0
 
     for b, item in enumerate(items):
         instr_ids.append(item["instr_id"])
@@ -197,20 +261,27 @@ def episodes_from_annotations(
         enc = item["instr_encoding"][:L]
         txt_ids[b, :len(enc)] = enc
         txt_mask[b, :len(enc)] = True
+        if has_midstop and "midstop" in item:
+            midstop[b] = idmap[item["midstop"]]
+        if has_obj and item.get("objId") is not None:
+            gt_obj[b] = obj_id_fn(item["objId"])
         np_w[b] = np_weight_matrix(item["instr_id"], meta, I, L)
         flags = meta.generated_flags.get(item["instr_id"])
         if flags is not None:
             imagine_mask[b, :I] = [f == "True" for f in flags[:I]] + \
                 [False] * max(0, I - len(flags))
 
+    if imagine_mask_override is not None:
+        imagine_mask = np.asarray(imagine_mask_override, bool)
     if imagine_feats is None:
-        imagine_feats = np.zeros((B, I, 768), np.float32)
+        imagine_feats = np.zeros((B, I, imagine_feat_dim), np.float32)
 
     ep = EpisodeBatch(
         scan=scan, start_node=start, start_heading=heading,
         gt_path=gt_path, gt_len=gt_len, txt_ids=txt_ids, txt_mask=txt_mask,
         imagine_feats=imagine_feats, imagine_mask=imagine_mask,
-        np_weights=np_w, imagine_images=imagine_images)
+        np_weights=np_w, midstop=midstop, gt_obj_id=gt_obj,
+        imagine_images=imagine_images)
     return ep, instr_ids
 
 
@@ -228,11 +299,15 @@ def ndh_episodes_from_annotations(
     path to a random end pano (NDHNavBatch._next_minibatch,
     cvdn/env.py:30-45).  Returns (episodes, instr_ids, end_panos_per_item
     as node indices for goal-progress eval)."""
+    from vln_imagine_tpu.envx.compiler import shortest_path_nodes
+
     rng = rng if rng is not None else np.random.default_rng(0)
+    graphs_by_scan = {g.scan_id: g for g in graphs}
     id_maps = {g.scan_id: g.id_to_index for g in graphs}
     resolved = []
     end_panos_all = []
     for item in items:
+        g = graphs_by_scan[item["scan"]]
         idmap = id_maps[item["scan"]]
         it = dict(item)
         if "end_panos" in item and item["end_panos"]:
@@ -241,11 +316,15 @@ def ndh_episodes_from_annotations(
             if player:
                 it["path"] = item["nav_steps"][item.get("nav_idx", 0):]
             else:
-                # goal sampled; the actual shortest path is reconstructed in
-                # the compiled tables by the time-indexed teacher, so store
-                # endpoints only
+                # goal sampled per call (NDHNavBatch._next_minibatch,
+                # cvdn/env.py:30-45); the gt path is the full shortest path
+                # to the sampled goal — nDTW/SDTW metrics and DTW reward
+                # shaping both score against it, so a [start, end] stub
+                # would silently corrupt every DTW-family number
                 end = rng.choice(item["end_panos"])
-                it["path"] = [item["start_pano"], end]
+                nodes = shortest_path_nodes(g, idmap[item["start_pano"]],
+                                            idmap[end])
+                it["path"] = [g.node_ids[n] for n in nodes]
             end_panos_all.append([idmap[p] for p in item["end_panos"]
                                   if p in idmap])
         else:
@@ -258,9 +337,6 @@ def ndh_episodes_from_annotations(
     ep, ids = episodes_from_annotations(
         resolved, graphs, AuxMetadata(), max_instr_len, max_gt_path_len,
         max_imaginations)
-    # expand 2-node [start, end] stubs into true shortest paths via the
-    # graphs' table indices is done by the teacher at rollout time when
-    # shortest_teacher=True; for time-indexed teaching expand here:
     return ep, ids, end_panos_all
 
 

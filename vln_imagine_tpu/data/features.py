@@ -79,6 +79,120 @@ def build_feature_table(
     return out
 
 
+class ObjectFeatureDB:
+    """REVERIE/SOON object features: HDF5 '<scan>_<viewpoint>' ->
+    [K, Do] features with attrs `directions` [K, 2] (heading/elevation),
+    `obj_ids` [K], and `sizes` (REVERIE, w/h pixels) or `bboxes` (SOON,
+    x1y1x2y2).  Port of VLN-DUET/map_nav_src/reverie/data_utils.py:9-52 and
+    soon/data_utils.py:73-120, with the same in-process cache."""
+
+    def __init__(self, obj_ft_file: str, obj_feat_size: int):
+        assert h5py is not None, "h5py required for HDF5 object files"
+        self.obj_ft_file = obj_ft_file
+        self.obj_feat_size = obj_feat_size
+        self._cache: dict[str, tuple[np.ndarray, dict]] = {}
+
+    def load_feature(self, scan: str, viewpoint: str,
+                     max_objects: int | None = None):
+        key = f"{scan}_{viewpoint}"
+        if key not in self._cache:
+            attrs: dict = {}
+            with h5py.File(self.obj_ft_file, "r") as f:
+                if key in f:
+                    fts = f[key][...][:, : self.obj_feat_size].astype(
+                        np.float32)
+                    for ak, av in f[key].attrs.items():
+                        if ak in ("directions", "sizes", "bboxes", "obj_ids"):
+                            attrs[ak] = np.asarray(av)
+                else:
+                    fts = np.zeros((0, self.obj_feat_size), np.float32)
+            self._cache[key] = (fts, attrs)
+        fts, attrs = self._cache[key]
+        if max_objects is not None:
+            fts = fts[:max_objects]
+            attrs = {k: v[:max_objects] for k, v in attrs.items()}
+        return fts, attrs
+
+    def box_features(self, attrs: dict) -> np.ndarray:
+        """[K, 3] normalized (h, w, area) box features
+        (reverie/data_utils.py:48-50: h/480, w/640; soon :114-117: /600)."""
+        if "sizes" in attrs:  # REVERIE
+            wh = np.asarray(attrs["sizes"], np.float32).reshape(-1, 2)
+            h, w = wh[:, 1] / 480.0, wh[:, 0] / 640.0
+        elif "bboxes" in attrs:  # SOON
+            bb = np.asarray(attrs["bboxes"], np.float32).reshape(-1, 4)
+            h = (bb[:, 3] - bb[:, 1]) / 600.0
+            w = (bb[:, 2] - bb[:, 0]) / 600.0
+        else:
+            return np.zeros((0, 3), np.float32)
+        return np.stack([h, w, h * w], -1).astype(np.float32)
+
+
+def load_obj2vps(bbox_file: str) -> dict[str, list[str]]:
+    """'<scan>_<objid>' -> viewpoints the object is visible from
+    (reverie/data_utils.py:113-124)."""
+    import json
+
+    with open(bbox_file) as f:
+        bbox_data = json.load(f)
+    obj2vps: dict[str, list[str]] = {}
+    for scanvp, value in bbox_data.items():
+        scan, vp = scanvp.split("_", 1)
+        for objid, objinfo in value.items():
+            if objinfo["visible_pos"]:
+                obj2vps.setdefault(f"{scan}_{objid}", []).append(vp)
+    return obj2vps
+
+
+def build_object_tables(
+    db: ObjectFeatureDB, graphs, max_objects: int, obj_feat_dim: int,
+    max_nodes: int | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict[str, int]]:
+    """Compile per-(scan, viewpoint) object stores into dense WorldTables
+    arrays: (obj_feat [S,N,Ko,D], obj_ang [S,N,Ko,2] absolute heading/elev,
+    obj_valid [S,N,Ko], obj_ids [S,N,Ko] i32, id_of str->i32).
+
+    An object's table visibility (which nodes carry its tokens) equals the
+    reference's obj2vps map: the HDF5 stores an entry exactly at the
+    viewpoints the object is visible from."""
+    N = max_nodes or max(g.num_nodes for g in graphs)
+    S = len(graphs)
+    obj_feat = np.zeros((S, N, max_objects, obj_feat_dim), np.float32)
+    obj_ang = np.zeros((S, N, max_objects, 2), np.float32)
+    obj_valid = np.zeros((S, N, max_objects), bool)
+    obj_ids = np.zeros((S, N, max_objects), np.int32)
+    id_of: dict[str, int] = {}
+
+    def intern(raw) -> int:
+        s = raw.decode() if isinstance(raw, bytes) else str(raw)
+        try:
+            return int(s)
+        except ValueError:
+            # non-numeric ids (SOON pseudo labels): stable negative interning
+            if s not in id_of:
+                id_of[s] = -(len(id_of) + 1)
+            return id_of[s]
+
+    for s, g in enumerate(graphs):
+        for n, vp in enumerate(g.node_ids):
+            fts, attrs = db.load_feature(g.scan_id, vp,
+                                         max_objects=max_objects)
+            k = fts.shape[0]
+            if k == 0:
+                continue
+            obj_feat[s, n, :k] = fts[:, :obj_feat_dim]
+            if "directions" in attrs:
+                obj_ang[s, n, :k] = np.asarray(
+                    attrs["directions"], np.float32).reshape(-1, 2)[:k]
+            obj_valid[s, n, :k] = True
+            for j, oid in enumerate(np.asarray(attrs.get(
+                    "obj_ids", np.arange(k)))[:k]):
+                v = intern(oid)
+                obj_ids[s, n, j] = v
+                id_of.setdefault(str(v), v)
+    return obj_feat, obj_ang, obj_valid, obj_ids, id_of
+
+
 class RawImaginationImageBank:
     """Raw imagination images keyed by instr_id, for in-step ViT extraction
     (ModelConfig.e2e_imagination).  Replaces the reference's LMDB raw-image
@@ -134,6 +248,24 @@ def _scatter_by_flags(instr_ids, generated_flags, max_imaginations,
                 mask[b, i] = True
                 j += 1
     return mask
+
+
+def build_imagination_arrays_v1(
+    db, instr_ids: Iterable[str], max_imaginations: int, feat_dim: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """V1 imagination format (`_create_diffusion_imaginations`,
+    agent_cmt.py:217-246): each instruction's features are packed densely
+    from slot 0 with a first-n validity mask — no generated-flag alignment
+    to sub-instruction slots (that is the v2 format below)."""
+    instr_ids = list(instr_ids)
+    feats = np.zeros((len(instr_ids), max_imaginations, feat_dim), np.float32)
+    mask = np.zeros((len(instr_ids), max_imaginations), bool)
+    for b, iid in enumerate(instr_ids):
+        rows = db.get_image_feature(iid)[:, :feat_dim]
+        n = min(rows.shape[0], max_imaginations)
+        feats[b, :n] = rows[:n]
+        mask[b, :n] = True
+    return feats, mask
 
 
 def build_imagination_arrays(

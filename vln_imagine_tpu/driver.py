@@ -37,6 +37,9 @@ class SplitData:
     name: str
     episodes: EpisodeBatch          # full split, host-side arrays
     instr_ids: list = field(default_factory=list)
+    # NDH (cvdn): the annotated goal-pano node indices per item, used by
+    # goal-progress eval (NDHNavBatch, VLN-HAMT/finetune_src/cvdn/env.py:91-130)
+    end_panos: list | None = None
 
 
 def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
@@ -75,7 +78,11 @@ class FinetuneDriver:
         if cfg.agent == "hamt":
             from vln_imagine_tpu.train.trainer import HamtTrainer
             self.trainer = HamtTrainer(cfg, tables)
-            self._feedback = "sample"
+            # train_alg 'sample' = IL+RL (agent_cmt.py:799-832);
+            # 'imitation' = teacher-forced CE only
+            self._feedback = ("teacher"
+                              if cfg.train.train_alg == "imitation"
+                              else "sample")
         else:
             from vln_imagine_tpu.train.trainer_duet import DuetTrainer
             self.trainer = DuetTrainer(cfg, tables)
@@ -159,7 +166,7 @@ class FinetuneDriver:
         bs = batch_size or self.cfg.train.batch_size
         n = split.episodes.scan.shape[0]
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
-        pred_objs = []
+        extra = []  # pred_obj (reverie/soon) or declared midstop (r2r_back)
         for idxs, fresh in EvalSampler(n, bs):
             ep = self._place_batch(_take(split.episodes, idxs))
             rng, self._rng = jax.random.split(self._rng)
@@ -179,12 +186,29 @@ class FinetuneDriver:
                 kept_ids.append(split.instr_ids[b] if split.instr_ids else b)
                 kept_idx.append(b)
                 if po is not None:
-                    pred_objs.append(int(po[j]))
-        if pred_objs and split.episodes.gt_obj_id is not None:
+                    extra.append(int(po[j]))
+        if extra and split.episodes.gt_obj_id is not None:
             # REVERIE/SOON: object-navigation scoring (success = stop at any
             # viewpoint the gt object is visible from; RGS/RGSPL grounding)
             avg, per = self._eval_object_split(split, scans, paths, gts,
-                                               kept_ids, kept_idx, pred_objs)
+                                               kept_ids, kept_idx, extra)
+        elif self.cfg.dataset == "r2r_back" and \
+                split.episodes.midstop is not None:
+            from vln_imagine_tpu.variants import eval_batch_variant
+            gt_mid = np.asarray(split.episodes.midstop)
+            avg, per = eval_batch_variant(
+                "r2r_back", np.asarray(self.tables.dist), np.asarray(scans),
+                paths, gt_paths=gts,
+                midstops=[(m if m >= 0 else None) for m in extra],
+                gt_midstops=[int(gt_mid[b]) for b in kept_idx],
+                instr_ids=kept_ids)
+        elif self.cfg.dataset == "cvdn" and split.end_panos is not None:
+            from vln_imagine_tpu.variants import eval_batch_variant
+            avg, per = eval_batch_variant(
+                "cvdn", np.asarray(self.tables.dist), np.asarray(scans),
+                paths, gt_paths=gts,
+                end_panos=[split.end_panos[b] for b in kept_idx],
+                instr_ids=kept_ids)
         else:
             avg, per = eval_batch(np.asarray(self.tables.dist),
                                   np.asarray(scans), paths, gts, kept_ids)

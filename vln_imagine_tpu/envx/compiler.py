@@ -120,6 +120,29 @@ def floyd_warshall(n: int, edges: list[tuple[int, int]], xyz: np.ndarray):
     return dist, nxt, hops
 
 
+_FLOYD_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+
+def shortest_path_nodes(graph: ScanGraph, src: int, dst: int) -> list[int]:
+    """Host-side shortest path (node indices, inclusive of both ends) over a
+    ScanGraph — the compile-time stand-in for the reference's networkx
+    Dijkstra (env.py:170-186).  Floyd tables are cached per graph object."""
+    key = id(graph)
+    if key not in _FLOYD_CACHE:
+        _FLOYD_CACHE[key] = floyd_warshall(graph.num_nodes, graph.edges,
+                                           graph.xyz)
+    _, nxt, _ = _FLOYD_CACHE[key]
+    if nxt[src, dst] < 0:
+        return [src]
+    path = [src]
+    node = src
+    while node != dst:
+        node = int(nxt[node, dst])
+        path.append(node)
+        assert len(path) <= graph.num_nodes, "broken next-hop table"
+    return path
+
+
 def compile_world(
     graphs: list[ScanGraph],
     max_nodes: int | None = None,

@@ -282,8 +282,10 @@ class LXRTXLayer(nn.Module):
 class GraphLXRTXLayer(nn.Module):
     """DUET cross-modal layer (vilmodel.py:366-412): visual queries language,
     then graph-sprel-biased self-attention + FFN.  The language-side blocks
-    (used only by the pre-training MLM lang2visn path) are defined in setup so
-    both directions share one parameter set, as in the reference module."""
+    exist only under config.use_lang2visn_attn (vilmodel.py:370-374) — true
+    for the pre-training model whose MLM runs the lang2visn direction
+    (pretrain config/r2r_model_config.json:32), false for the navigation
+    model, whose released checkpoints carry no lang-side keys."""
 
     config: ModelConfig
 
@@ -293,9 +295,10 @@ class GraphLXRTXLayer(nn.Module):
         self.visn_self_att = BertAttention(cfg)
         self.visn_inter = BertIntermediate(cfg)
         self.visn_output = BertOutput(cfg)
-        self.lang_self_att = BertAttention(cfg)
-        self.lang_inter = BertIntermediate(cfg)
-        self.lang_output = BertOutput(cfg)
+        if cfg.use_lang2visn_attn:
+            self.lang_self_att = BertAttention(cfg)
+            self.lang_inter = BertIntermediate(cfg)
+            self.lang_output = BertOutput(cfg)
 
     def __call__(self, lang, lang_mask, visn, visn_mask, graph_sprels=None,
                  deterministic=True):

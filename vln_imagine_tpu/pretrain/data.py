@@ -76,6 +76,11 @@ class TrajectoryBatcher:
         hist_ang = np.zeros((T, A), np.float32)
         hist_pano_img = np.zeros((T, V, Df), np.float32)
         hist_pano_ang = np.zeros((T, V, A), np.float32)
+        # (node, view) provenance per history step / obs slot, so the
+        # raw-image batcher (E2EImageBatcher) can fetch pixels for the same
+        # trajectory without duplicating this logic
+        hist_node = np.zeros((T,), np.int64)
+        hist_view = np.zeros((T,), np.int64)
         cur_view = self.views // 3  # heading 0, horizon row
         for i in range(t):
             node, nxt = path[i], path[i + 1]
@@ -83,6 +88,8 @@ class TrajectoryBatcher:
             pid = self.w["pointid"][scan, node, slot]
             feat = self.w["feat"][scan, node]
             hist_img[i] = feat[pid]
+            hist_node[i] = node
+            hist_view[i] = pid
             dh = self.w["head"][scan, node, slot] - self._view_heading(cur_view)
             de = self.w["elev"][scan, node, slot]
             hist_ang[i] = np.tile(
@@ -135,7 +142,9 @@ class TrajectoryBatcher:
                     hist_len=t, ob_img=ob_img, ob_ang=ob_ang, nav=nav,
                     valid=valid, act=act, progress=progress,
                     act_angles=np.array([act_h, act_e], np.float32),
-                    cur_view=cur_view)
+                    cur_view=cur_view, hist_node=hist_node,
+                    hist_view=hist_view, ob_node=int(node),
+                    ob_pids=pid.copy())
 
     # -------------------------------------------------------------- batch
     def base_batch(self, idxs: np.ndarray, end_step: bool = False):

@@ -93,9 +93,19 @@ class BasePretrainer:
         self.tx = pretrain_optimizer(pcfg.lr, pcfg.warmup_steps,
                                      pcfg.num_train_steps,
                                      max_grad_norm=pcfg.max_grad_norm)
+        if pcfg.gradient_accumulation_steps > 1:
+            # accumulate k micro-batch gradients, update every k-th call
+            # (main_r2r.py:240-280: loss/k each micro-step + step every k ==
+            # one update on the mean gradient; the LR schedule advances per
+            # update, which MultiSteps' inner-count semantics reproduce)
+            self.tx = optax.MultiSteps(
+                self.tx, every_k_schedule=pcfg.gradient_accumulation_steps)
         self._rng = jax.random.PRNGKey(pcfg.seed)
         self._steps: dict[str, Callable] = {}
         self._evals: dict[str, Callable] = {}
+        # named validation batchers over held-out splits
+        # (main_r2r.py:303-316 validates seen + unseen every valid_steps)
+        self.val_batchers: dict[str, Any] = {}
 
     def init_state(self) -> PretrainState:
         rng, self._rng = jax.random.split(self._rng)
@@ -184,14 +194,29 @@ class BasePretrainer:
                    for t, v in stats.items()}
         return state, summary
 
+    def add_validation_split(self, name: str, world: WorldTables,
+                             ep: EpisodeBatch, seed: int = 0) -> None:
+        """Register a held-out split (e.g. 'val_seen'/'val_unseen') for
+        validate(); mirrors the reference's val/val2 dataloaders
+        (main_r2r.py:160-188,303-316)."""
+        self.val_batchers[name] = self._make_batcher(world, ep, seed)
+
     def validate(self, state: PretrainState, batch_size: int = 8,
-                 num_batches: int = 4) -> dict:
-        """Per-task loss/accuracy (main_r2r.py validate_* :303-316)."""
+                 num_batches: int = 4, split: str | None = None) -> dict:
+        """Per-task loss/accuracy (main_r2r.py validate_* :303-316) on the
+        named held-out split, or — when no split was registered — on the
+        training batcher (smoke-test mode only)."""
+        if split is not None:
+            batcher = self.val_batchers[split]
+        elif self.val_batchers:
+            batcher = next(iter(self.val_batchers.values()))
+        else:
+            batcher = self.batcher
         out = {}
         for task in self.cfg.pretrain.tasks:
             tot_loss = tot_n = tot_correct = 0.0
             for _ in range(num_batches):
-                batch = self.batcher.task_batch(task, batch_size)
+                batch = batcher.task_batch(task, batch_size)
                 args = tuple(jnp.asarray(batch[k]) for k in self.task_args[task])
                 loss_sum, n, correct = self._eval_step(task)(state.params,
                                                              *args)
@@ -211,15 +236,19 @@ class HamtPretrainer(BasePretrainer):
                  image_prob_size: int = 64, seed: int | None = None,
                  donate: bool = True):
         super().__init__(cfg, donate=donate)
+        self._image_prob_size = image_prob_size
         self.model = HamtPretrainModel(cfg.model,
                                        image_prob_size=image_prob_size,
                                        tasks=tuple(cfg.pretrain.tasks))
-        self.batcher = TrajectoryBatcher(
-            world, ep, max_hist_len=cfg.env.max_action_len,
-            angle_feat_size=cfg.model.angle_feat_size,
-            image_prob_size=image_prob_size,
-            vocab_size=cfg.model.vocab_size,
-            seed=seed if seed is not None else cfg.pretrain.seed)
+        self.batcher = self._make_batcher(
+            world, ep, seed if seed is not None else cfg.pretrain.seed)
+
+    def _make_batcher(self, world: WorldTables, ep: EpisodeBatch, seed: int):
+        return TrajectoryBatcher(
+            world, ep, max_hist_len=self.cfg.env.max_action_len,
+            angle_feat_size=self.cfg.model.angle_feat_size,
+            image_prob_size=self._image_prob_size,
+            vocab_size=self.cfg.model.vocab_size, seed=seed)
 
 
 class DuetPretrainer(BasePretrainer):
@@ -236,13 +265,23 @@ class DuetPretrainer(BasePretrainer):
 
         super().__init__(cfg, donate=donate)
         self.model_cls = DuetPretrainModel
-        self.model = DuetPretrainModel(cfg.model,
+        # the pretrain model always carries the lang-side x-layer blocks:
+        # MLM contextualizes text over both branches via lang2visn
+        # (pretrain config/r2r_model_config.json:32, vilmodel.py:370-374)
+        import dataclasses as _dc
+        mcfg = _dc.replace(cfg.model, use_lang2visn_attn=True)
+        self.model = DuetPretrainModel(mcfg,
                                        image_prob_size=image_prob_size,
                                        tasks=tuple(cfg.pretrain.tasks))
-        self.batcher = DuetTrajectoryBatcher(
-            world, ep, max_hist_len=cfg.env.max_action_len,
-            max_gmap_nodes=cfg.env.max_gmap_nodes,
-            angle_feat_size=cfg.model.angle_feat_size,
-            image_prob_size=image_prob_size,
-            vocab_size=cfg.model.vocab_size,
-            seed=seed if seed is not None else cfg.pretrain.seed)
+        self._image_prob_size = image_prob_size
+        self.batcher = self._make_batcher(
+            world, ep, seed if seed is not None else cfg.pretrain.seed)
+
+    def _make_batcher(self, world: WorldTables, ep: EpisodeBatch, seed: int):
+        from vln_imagine_tpu.pretrain.duet_data import DuetTrajectoryBatcher
+        return DuetTrajectoryBatcher(
+            world, ep, max_hist_len=self.cfg.env.max_action_len,
+            max_gmap_nodes=self.cfg.env.max_gmap_nodes,
+            angle_feat_size=self.cfg.model.angle_feat_size,
+            image_prob_size=self._image_prob_size,
+            vocab_size=self.cfg.model.vocab_size, seed=seed)

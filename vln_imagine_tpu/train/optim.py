@@ -90,14 +90,14 @@ def freeze_until(inner: optax.GradientTransformation,
     return optax.GradientTransformation(init, update)
 
 
-def _staged_schedule(base_lr: float, total_iters: int,
+def _staged_schedule(stage1_end: int, stage2_end: int, base_lr: float,
                      stage_lrs: tuple[float, float, float]) -> Callable:
     s1, s2, s3 = stage_lrs
 
     def schedule(count):
         c = jnp.asarray(count)
-        return jnp.where(c < 0.25 * total_iters, base_lr * s1,
-                         jnp.where(c < 0.5 * total_iters, base_lr * s2,
+        return jnp.where(c < stage1_end, base_lr * s1,
+                         jnp.where(c < stage2_end, base_lr * s2,
                                    base_lr * s3))
 
     return schedule
@@ -140,21 +140,33 @@ def _adam_like(name: str, lr: Callable | float,
 def warmup_variant4_optimizer(base_lr: float, total_iters: int,
                               optim: str = "adamw",
                               max_grad_norm: float = 40.0,
+                              stage1_iters: int = -1,
+                              stage2_iters: int = -1,
+                              weight_decay: float = 0.0,
                               ) -> Callable[[Any], optax.GradientTransformation]:
     """Returns params -> GradientTransformation implementing the 3-stage
-    schedule. Clip-by-global-norm 40 applied first (agent_cmt.py:794)."""
+    schedule. Clip-by-global-norm 40 applied first (agent_cmt.py:794).
 
-    aux_sched = _staged_schedule(base_lr, total_iters, (10.0, 5.0, 0.1))
-    rest_sched = _staged_schedule(base_lr, total_iters, (1.0, 0.1, 0.1))
-    unfreeze = int(0.25 * total_iters)
+    stage1_iters / stage2_iters are the stage END boundaries
+    (TrainConfig.warmup_stage{1,2}_iters); -1 reproduces the reference's
+    hardcoded fractions 0.25*iters / 0.5*iters (main.py:230,244)."""
+
+    stage1_end = stage1_iters if stage1_iters >= 0 else int(0.25 * total_iters)
+    stage2_end = stage2_iters if stage2_iters >= 0 else int(0.5 * total_iters)
+    assert stage1_end <= stage2_end, (stage1_end, stage2_end)
+    aux_sched = _staged_schedule(stage1_end, stage2_end, base_lr,
+                                 (10.0, 5.0, 0.1))
+    rest_sched = _staged_schedule(stage1_end, stage2_end, base_lr,
+                                  (1.0, 0.1, 0.1))
 
     def build(params):
         labels = label_hamt_params(params)
         tx = optax.multi_transform(
             {
-                "contrastive": _adam_like(optim, aux_sched),
-                "imagine": _adam_like(optim, aux_sched),
-                "rest": freeze_until(_adam_like(optim, rest_sched), unfreeze),
+                "contrastive": _adam_like(optim, aux_sched, weight_decay),
+                "imagine": _adam_like(optim, aux_sched, weight_decay),
+                "rest": freeze_until(
+                    _adam_like(optim, rest_sched, weight_decay), stage1_end),
             },
             labels,
         )

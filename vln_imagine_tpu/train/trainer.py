@@ -48,10 +48,14 @@ class HamtTrainer:
                 cfg.model.imagine_enc_pano and cfg.model.use_cosine_aux_loss:
             self._tx_builder = warmup_variant4_optimizer(
                 cfg.train.lr, cfg.train.iters, cfg.train.optim,
-                cfg.train.max_grad_norm)
+                cfg.train.max_grad_norm,
+                stage1_iters=cfg.train.warmup_stage1_iters,
+                stage2_iters=cfg.train.warmup_stage2_iters,
+                weight_decay=cfg.train.weight_decay)
         else:
             tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
-                                 cfg.train.max_grad_norm)
+                                 cfg.train.max_grad_norm,
+                                 weight_decay=cfg.train.weight_decay)
             self._tx_builder = lambda params: tx
         if cfg.model.e2e_imagination == "frozen":
             inner_builder = self._tx_builder
@@ -188,6 +192,10 @@ class HamtTrainer:
             if use_obj:
                 # REVERIE/SOON: the grounded object id per item (for RGS)
                 return res.path_nodes, res.path_len, res.pred_obj
+            if cfg.dataset == "r2r_back":
+                # the declared midstop node (-1 when never declared), scored
+                # by eval_item_r2r_back (R2RBackBatch._eval_item env.py:480)
+                return res.path_nodes, res.path_len, res.midstop
             return res.path_nodes, res.path_len
 
         return eval_step

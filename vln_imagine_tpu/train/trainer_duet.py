@@ -51,10 +51,14 @@ class DuetTrainer:
                 cfg.model.imagine_enc_pano and cfg.model.use_cosine_aux_loss:
             self._tx_builder = warmup_variant4_optimizer(
                 cfg.train.lr, cfg.train.iters, cfg.train.optim,
-                cfg.train.max_grad_norm)
+                cfg.train.max_grad_norm,
+                stage1_iters=cfg.train.warmup_stage1_iters,
+                stage2_iters=cfg.train.warmup_stage2_iters,
+                weight_decay=cfg.train.weight_decay)
         else:
             tx = plain_optimizer(cfg.train.lr, cfg.train.optim,
-                                 cfg.train.max_grad_norm)
+                                 cfg.train.max_grad_norm,
+                                 weight_decay=cfg.train.weight_decay)
             self._tx_builder = lambda params: tx
         if cfg.model.e2e_imagination == "frozen":
             inner_builder = self._tx_builder
