@@ -79,6 +79,29 @@ def build_feature_table(
     return out
 
 
+class RawPanoramaBank:
+    """Raw (preprocessed) panorama views aligned with the compiled world's
+    node indexing: one mmap'd .npy [S, N, V, h, w, 3] float32.  Replaces the
+    reference's LMDB raw-image store for the six E2E image pre-train tasks
+    (pretrain_src/data/image_data.py); batch assembly is zero-copy slicing.
+    Any array-like with the same indexing (e.g. an in-memory array for
+    tests) works wherever a bank is accepted."""
+
+    def __init__(self, array_path: str, image_size: int):
+        self.arr = np.load(array_path, mmap_mode="r")
+        assert self.arr.ndim == 6 and self.arr.shape[3] == image_size, \
+            f"expected [S, N, V, {image_size}, {image_size}, 3], " \
+            f"got {self.arr.shape}"
+        self.image_size = image_size
+
+    def __getitem__(self, key):
+        return np.asarray(self.arr[key])
+
+    @property
+    def shape(self):
+        return self.arr.shape
+
+
 class ObjectFeatureDB:
     """REVERIE/SOON object features: HDF5 '<scan>_<viewpoint>' ->
     [K, Do] features with attrs `directions` [K, 2] (heading/elevation),

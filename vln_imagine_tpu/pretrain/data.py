@@ -154,6 +154,7 @@ class TrajectoryBatcher:
             L = len(self.paths[b])
             steps.append(L - 1 if end_step else int(self.rng.integers(0, L)))
         items = [self._trajectory(b, t) for b, t in zip(idxs, steps)]
+        self._last_items = items  # subclasses stack extra per-item tensors
         ep = self.ep
 
         def stack(key):
@@ -279,6 +280,66 @@ class TrajectoryBatcher:
         if task in ("sap", "sar"):
             return self.base_batch(idxs)
         raise ValueError(task)
+
+
+class E2EImageBatcher(TrajectoryBatcher):
+    """Raw-image variants of the six task batches: the same trajectories,
+    labels and layouts as TrajectoryBatcher, with pixel tensors in place of
+    precomputed features (data/image_tasks.py:16-508).
+
+    `images` is anything indexable as images[scan, node, view] ->
+    [h, w, 3] and images[scan, node] -> [V, h, w, 3] (a RawPanoramaBank
+    mmap or an in-memory [S, N, V, h, w, 3] array)."""
+
+    IMAGE_KEYS = {"hist_img_fts": "hist_images",
+                  "hist_pano_img_fts": "hist_pano_images",
+                  "ob_img_fts": "ob_images"}
+
+    def __init__(self, world: WorldTables, ep: EpisodeBatch, images,
+                 **kwargs):
+        super().__init__(world, ep, **kwargs)
+        self.images = images
+        self.hw = np.asarray(images[0, 0, 0]).shape[0]
+
+    def _trajectory(self, b: int, t: int):
+        it = super()._trajectory(b, t)
+        scan = int(self.scans[b])
+        T, V, K = self.T, self.views, self.K
+        hw = self.hw
+        hist_images = np.zeros((T, hw, hw, 3), np.float32)
+        hist_pano_images = np.zeros((T, V, hw, hw, 3), np.float32)
+        for i in range(it["hist_len"]):
+            node = int(it["hist_node"][i])
+            hist_images[i] = self.images[scan, node, int(it["hist_view"][i])]
+            hist_pano_images[i] = self.images[scan, node]
+        # observation layout [K cands | STOP (zeros) | V views]
+        node = it["ob_node"]
+        ob_images = np.zeros((K + 1 + V, hw, hw, 3), np.float32)
+        pano = self.images[scan, node]
+        for k in range(K):
+            if it["valid"][k]:
+                ob_images[k] = pano[int(it["ob_pids"][k])]
+        ob_images[K + 1:] = pano
+        it["hist_images"] = hist_images
+        it["hist_pano_images"] = hist_pano_images
+        it["ob_images"] = ob_images
+        return it
+
+    def base_batch(self, idxs: np.ndarray, end_step: bool = False):
+        batch = super().base_batch(idxs, end_step=end_step)
+        items = self._last_items
+        for key in ("hist_images", "hist_pano_images", "ob_images"):
+            batch[key] = np.stack([it[key] for it in items])
+        return batch
+
+    def task_batch(self, task: str, batch_size: int):
+        batch = super().task_batch(task, batch_size)
+        # feature keys are dropped: the E2E model embeds raw pixels with its
+        # in-loop ViT (mrc's feature zero-masking happens post-backbone in
+        # HamtE2EPretrainModel.forward_mrc, image_vilmodel.py:83-85)
+        for fk in self.IMAGE_KEYS:
+            batch.pop(fk, None)
+        return batch
 
 
 class MetaSampler:

@@ -59,6 +59,15 @@ TASK_ARGS = {
 }
 
 
+# E2E raw-image variants: identical layouts with pixel tensors in place of
+# the precomputed features (data/image_tasks.py collates)
+_E2E_RENAME = {"hist_img_fts": "hist_images",
+               "hist_pano_img_fts": "hist_pano_images",
+               "ob_img_fts": "ob_images"}
+E2E_TASK_ARGS = {task: tuple(_E2E_RENAME.get(k, k) for k in args)
+                 for task, args in TASK_ARGS.items()}
+
+
 DUET_TASK_ARGS = {
     "mlm": ("txt_ids", "txt_masks", "txt_labels", "traj_img", "traj_loc",
             "traj_nav", "traj_valid", "agg", "gmap_step_ids", "gmap_pos_fts",
@@ -282,6 +291,40 @@ class DuetPretrainer(BasePretrainer):
         return DuetTrajectoryBatcher(
             world, ep, max_hist_len=self.cfg.env.max_action_len,
             max_gmap_nodes=self.cfg.env.max_gmap_nodes,
+            angle_feat_size=self.cfg.model.angle_feat_size,
+            image_prob_size=self._image_prob_size,
+            vocab_size=self.cfg.model.vocab_size, seed=seed)
+
+
+class E2EPretrainer(BasePretrainer):
+    """Six-task E2E image pre-training with the ViT in the loop
+    (VLN-HAMT/pretrain_src/main_r2r_image.py + data/image_tasks.py):
+    task batches carry raw panorama pixels from a RawPanoramaBank (or any
+    [S, N, V, h, w, 3]-indexable array) and HamtE2EPretrainModel embeds
+    them with its in-model ViT each step."""
+
+    task_args = E2E_TASK_ARGS
+
+    def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
+                 images, vit_config=None, image_prob_size: int = 64,
+                 seed: int | None = None, donate: bool = True):
+        from vln_imagine_tpu.pretrain.data import E2EImageBatcher
+        from vln_imagine_tpu.pretrain.hamt_e2e import HamtE2EPretrainModel
+
+        super().__init__(cfg, donate=donate)
+        self.model_cls = HamtE2EPretrainModel
+        self._image_prob_size = image_prob_size
+        self._images = images
+        self.model = HamtE2EPretrainModel(
+            cfg.model, vit_config=vit_config,
+            image_prob_size=image_prob_size, tasks=tuple(cfg.pretrain.tasks))
+        self.batcher = self._make_batcher(
+            world, ep, seed if seed is not None else cfg.pretrain.seed)
+
+    def _make_batcher(self, world: WorldTables, ep: EpisodeBatch, seed: int):
+        from vln_imagine_tpu.pretrain.data import E2EImageBatcher
+        return E2EImageBatcher(
+            world, ep, self._images, max_hist_len=self.cfg.env.max_action_len,
             angle_feat_size=self.cfg.model.angle_feat_size,
             image_prob_size=self._image_prob_size,
             vocab_size=self.cfg.model.vocab_size, seed=seed)
