@@ -1,77 +1,372 @@
-"""Throughput benchmark: HAMT-Imagine greedy-eval episodes/sec at reference
-scale (hidden 768, 9L+4X, batch 8, 36-view obs, 15-step episodes, 60-token
-instructions, 20 imagination tokens) on one chip.
+"""Throughput benchmark at reference scale (hidden 768, 9L+4X, batch 8,
+36-view obs, 15-step episodes, 60-token instructions, 20 imagination tokens).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line.  Primary metric: HAMT-Imagine greedy-eval episodes/sec
+on one chip.  vs_baseline is MEASURED, not assumed: the ACTUAL reference
+torch NavCMT (VLN-HAMT/finetune_src/models/vilmodel_cmt.py, importable in
+this environment) is driven through the same greedy rollout over the same
+synthetic world on this host's CPU (graph-only host sim in place of
+MatterSim, faithful per-step numpy obs packing per agent_cmt.py:498-658).
 
-Baseline: the reference publishes no throughput numbers (BASELINE.md).  We
-anchor vs_baseline to an estimated 10 episodes/sec for the PyTorch reference
-on A100 (bs 8: ~15 sequential per-step CUDA forwards plus per-item MatterSim
-calls and numpy packing per episode batch).  vs_baseline = value / 10.
+Because the reference cannot run on TPU, the line also carries
+`same_host_vs_baseline`: our jax path pinned to this host's CPU against the
+torch reference on the same CPU — the hardware-normalized anchor — plus the
+DUET eval and both train-step metrics under `extras`.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-ASSUMED_BASELINE_EPS_PER_SEC = 10.0
+REF_HAMT = "/root/reference/VLN-HAMT/finetune_src"
+
+BATCH = 8
+STEPS = 15
+L_TXT = 60
+N_IMAG = 20
+
+
+def _world_and_episodes(cfg):
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+
+    world_np, graphs = synthetic_world(
+        num_scans=2, num_nodes=96, max_candidates=cfg.env.max_candidates,
+        views=36, feat_dim=cfg.model.image_feat_size, seed=0)
+    ep_np = synthetic_episodes(
+        world_np, batch=BATCH, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=1)
+    return world_np, graphs, ep_np
+
+
+def _time_fn(fn, iters):
+    out = fn(0)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(i + 1)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def _cpu_init(trainer_cls, cfg, world_np, ep_np):
+    """Initialize params/optimizer state on the host CPU (7x faster than
+    tracing the init program over the TPU tunnel on this 1-core host) and
+    hand the state back as host arrays."""
+    from vln_imagine_tpu.config import _replace
+
+    cpu = jax.devices("cpu")[0]
+    cfg_cpu = _replace(cfg, "model", use_pallas_attention=False)
+    with jax.default_device(cpu):
+        world_c = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), cpu), world_np)
+        ep_c = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), cpu), ep_np)
+        trainer = trainer_cls(cfg_cpu, world_c)
+        state = trainer.init_state(ep_c)
+    return jax.tree.map(np.asarray, state)
+
+
+class _AgentLane:
+    """One agent's measurement lane on a device: CPU-side init (fast on this
+    1-core host) + device transfer, then eval/train timings on demand."""
+
+    def __init__(self, agent: str, device=None):
+        from vln_imagine_tpu.config import (duet_r2r_config, hamt_r2r_config,
+                                            _replace)
+        from vln_imagine_tpu.train.trainer import HamtTrainer
+        from vln_imagine_tpu.train.trainer_duet import DuetTrainer
+
+        self.agent = agent
+        self.on_cpu = device == "cpu"
+        self.dev = jax.devices("cpu")[0] if self.on_cpu else jax.devices()[0]
+        maker = hamt_r2r_config if agent == "hamt" else duet_r2r_config
+        trainer_cls = HamtTrainer if agent == "hamt" else DuetTrainer
+        # CPU lane runs f32: bf16 is emulated (slow) on CPU and the torch
+        # reference baseline is f32, so f32 keeps the anchor apples-to-apples
+        cfg = _replace(maker(), "model", vocab_size=30522,
+                       use_pallas_attention=not self.on_cpu,
+                       **({"compute_dtype": "float32"} if self.on_cpu
+                          else {}))
+        world_np, _, ep_np = _world_and_episodes(cfg)
+        state = _cpu_init(trainer_cls, cfg, world_np, ep_np)
+        dev = self.dev
+        self.world = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), dev), world_np)
+        self.ep = jax.tree.map(
+            lambda x: jax.device_put(jnp.asarray(x), dev), ep_np)
+        self.state = jax.tree.map(lambda x: jax.device_put(x, dev), state)
+        self.trainer = trainer_cls(cfg, self.world)
+        self.trainer.tx = self.trainer._tx_builder(self.state.params)
+
+    def eval_eps(self, iters: int) -> float:
+        with jax.default_device(self.dev):
+            step = self.trainer.make_eval_step()
+            rng = jax.random.PRNGKey(0)
+            dt = _time_fn(
+                lambda i: step(self.state.params, self.ep,
+                               jax.random.fold_in(rng, i)), iters)
+        return BATCH / dt
+
+    def train_ms(self, iters: int = 10) -> float:
+        with jax.default_device(self.dev):
+            if self.agent == "hamt":
+                step = self.trainer.make_train_step("sample", donate=False)
+            else:
+                step = self.trainer.make_train_step(donate=False)
+            # both agents: (state, ep_il, ep_rl/student, rng)
+            fn = lambda i: step(self.state, self.ep, self.ep,  # noqa: E731
+                                jax.random.fold_in(
+                                    jax.random.PRNGKey(1), i))[1]
+            dt = _time_fn(fn, iters)
+        return dt * 1000.0
+
+
+def measure_reference_torch_cpu(max_seconds: float = 150.0):
+    """Greedy-eval episodes/sec of the ACTUAL reference torch NavCMT on this
+    host CPU over the same synthetic world: language + imagine once, then
+    per-step numpy obs packing -> 'visual' forward -> argmax -> 'history'
+    update -> host-sim step (agent_cmt.py:371-658 shape of work)."""
+    import torch
+
+    for name in [n for n in sys.modules
+                 if n == "models" or n.startswith("models.")]:
+        del sys.modules[name]
+    sys.path.insert(0, REF_HAMT)
+    try:
+        from models.vilmodel_cmt import NavCMT
+    finally:
+        sys.path.remove(REF_HAMT)
+    from transformers import BertConfig
+
+    from vln_imagine_tpu.config import hamt_r2r_config, _replace
+
+    cfg = _replace(hamt_r2r_config(), "model", vocab_size=30522)
+    world_np, graphs, ep_np = _world_and_episodes(cfg)
+
+    c = BertConfig(vocab_size=30522, hidden_size=768, num_hidden_layers=2,
+                   num_attention_heads=12, intermediate_size=3072,
+                   hidden_act="gelu", hidden_dropout_prob=0.1,
+                   attention_probs_dropout_prob=0.1, type_vocab_size=2,
+                   layer_norm_eps=1e-12)
+    c.image_feat_size = 768
+    c.angle_feat_size = 4
+    c.num_l_layers, c.num_r_layers, c.num_h_layers, c.num_x_layers = 9, 0, 0, 4
+    c.hist_enc_pano, c.num_h_pano_layers = True, 2
+    c.fix_lang_embedding = c.fix_hist_embedding = c.fix_obs_embedding = False
+    c.update_lang_bert = True
+    c.output_attentions = True
+    c.pred_head_dropout_prob = 0.1
+    c.no_lang_ca = False
+    c.act_pred_token = "ob_txt"
+    c.max_action_steps = 50
+    c.imagine_enc_pano = True
+    c.max_imagination_len = N_IMAG
+    c.fix_imagine_embeds = False
+    c.bypass_imag_encoder = True
+    c.use_cosine_aux_loss = True
+    c.aux_loss_type = "cosine"
+    c.infonce_temperature = 0.3
+    c.contrastive_margin_value = 1.0
+    c.concat_imagine_with = "language"
+    c.no_loss_test = False
+    model = NavCMT(c).eval()
+
+    from vln_imagine_tpu.envx.hostsim import GraphSimulator
+
+    feat = np.asarray(world_np.feat)        # [S, N, V, 768]
+    adj = np.asarray(world_np.adj)
+    adj_valid = np.asarray(world_np.adj_valid)
+    pointid = np.asarray(world_np.cand_pointid)
+    heading = np.asarray(world_np.cand_heading)
+    elev = np.asarray(world_np.cand_elevation)
+    scans = np.asarray(ep_np.scan)
+    starts = np.asarray(ep_np.start_node)
+    V, K = 36, adj.shape[-1]
+
+    rng = np.random.default_rng(0)
+    txt_ids = torch.from_numpy(np.asarray(ep_np.txt_ids)[:, :L_TXT]).long()
+    txt_masks = torch.from_numpy(np.asarray(ep_np.txt_mask)[:, :L_TXT]).float()
+    imag = torch.from_numpy(
+        rng.standard_normal((BATCH, N_IMAG, 768)).astype(np.float32))
+    imag_mask = torch.from_numpy(np.asarray(ep_np.imagine_mask)).float()
+
+    sims = [GraphSimulator({g.scan_id: g for g in graphs}) for _ in
+            range(BATCH)]
+
+    def pack_obs(nodes):
+        """Faithful _cand_pano_feature_variable packing (agent_cmt.py:130):
+        candidates + [STOP] + unclaimed pano views, feature+angle per token,
+        assembled in numpy per item then padded + copied to torch."""
+        per_img, per_ang, per_nav = [], [], []
+        for b in range(BATCH):
+            s, n = scans[b], nodes[b]
+            f = feat[s, n]
+            cand_k = np.flatnonzero(adj_valid[s, n])
+            used = set(int(pointid[s, n, k]) for k in cand_k)
+            rest = [v for v in range(V) if v not in used]
+            img = np.concatenate(
+                [f[pointid[s, n, cand_k]], np.zeros((1, 768), np.float32),
+                 f[rest]], 0)
+            ang = np.zeros((img.shape[0], 4), np.float32)
+            ang[:len(cand_k), 0] = np.sin(heading[s, n, cand_k])
+            ang[:len(cand_k), 1] = np.cos(heading[s, n, cand_k])
+            ang[:len(cand_k), 2] = np.sin(elev[s, n, cand_k])
+            nav = np.zeros((img.shape[0],), np.int64)
+            nav[:len(cand_k)] = 1
+            nav[len(cand_k)] = 2
+            per_img.append(img)
+            per_ang.append(ang)
+            per_nav.append(nav)
+        T_obs = max(x.shape[0] for x in per_img)
+        ob_img = np.zeros((BATCH, T_obs, 768), np.float32)
+        ob_ang = np.zeros((BATCH, T_obs, 4), np.float32)
+        ob_nav = np.zeros((BATCH, T_obs), np.int64)
+        ob_mask = np.zeros((BATCH, T_obs), np.float32)
+        for b in range(BATCH):
+            L = per_img[b].shape[0]
+            ob_img[b, :L] = per_img[b]
+            ob_ang[b, :L] = per_ang[b]
+            ob_nav[b, :L] = per_nav[b]
+            ob_mask[b, :L] = 1.0
+        return (torch.from_numpy(ob_img), torch.from_numpy(ob_ang),
+                torch.from_numpy(ob_nav), torch.from_numpy(ob_mask))
+
+    episodes = 0
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        while time.perf_counter() - t0 < max_seconds and episodes < 4 * BATCH:
+            nodes = starts.copy()
+            for b in range(BATCH):
+                g = graphs[scans[b]]
+                sims[b].newEpisode(g.scan_id, g.node_ids[nodes[b]], 0.0, 0.0)
+            txt = model("language", txt_ids=txt_ids, txt_masks=txt_masks)
+            imagine = model("imagine", imagine_pano_img_feats=imag)
+            hist = model("history").expand(BATCH, -1).unsqueeze(1)
+            ended = np.zeros(BATCH, bool)
+            for t in range(STEPS):
+                ob_img, ob_ang, ob_nav, ob_mask = pack_obs(nodes)
+                act_logits, _, _, _ = model(
+                    "visual", txt_embeds=txt, txt_masks=txt_masks,
+                    hist_embeds=hist,
+                    hist_masks=torch.ones(BATCH, hist.size(1)),
+                    ob_img_feats=ob_img, ob_ang_feats=ob_ang,
+                    ob_nav_types=ob_nav, ob_masks=ob_mask,
+                    imagine_embeds=imagine, imagine_masks=imag_mask)
+                acts = act_logits.argmax(-1).numpy()
+                new_hist = model(
+                    "history",
+                    hist_img_feats=ob_img[:, 0],
+                    hist_ang_feats=ob_ang[:, 0],
+                    hist_pano_img_feats=torch.from_numpy(
+                        feat[scans, nodes]),
+                    hist_pano_ang_feats=torch.zeros(BATCH, V, 4),
+                    ob_step_ids=torch.full((BATCH,), t, dtype=torch.long))
+                hist = torch.cat([hist, new_hist.unsqueeze(1)], 1)
+                for b in range(BATCH):
+                    if ended[b]:
+                        continue
+                    s, n = scans[b], nodes[b]
+                    cand_k = np.flatnonzero(adj_valid[s, n])
+                    if acts[b] >= len(cand_k) or ob_nav[b, acts[b]] != 1:
+                        ended[b] = True  # stop token or non-candidate
+                        continue
+                    nxt = int(adj[s, n, cand_k[acts[b]]])
+                    sims[b].makeAction(0, float(heading[s, n,
+                                                        cand_k[acts[b]]]), 0.0)
+                    nodes[b] = nxt
+                if ended.all():
+                    break
+            episodes += BATCH
+    dt = time.perf_counter() - t0
+    return episodes / dt
 
 
 def main():
-    # persistent compile cache: repeat bench runs skip the ~1 min XLA compile
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/vln_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 
-    from vln_imagine_tpu.config import hamt_r2r_config, _replace
-    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
-    from vln_imagine_tpu.train.trainer import HamtTrainer
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("VLN_BENCH_BUDGET_S", "450"))
 
-    cfg = hamt_r2r_config()
-    cfg = _replace(cfg, "model", vocab_size=30522)
-    batch = cfg.train.batch_size  # 8, as in the released config
+    def left():
+        return budget_s - (time.perf_counter() - t_start)
 
-    world_np, _ = synthetic_world(
-        num_scans=2, num_nodes=96, max_candidates=cfg.env.max_candidates,
-        views=36, feat_dim=cfg.model.image_feat_size, seed=0)
-    ep_np = synthetic_episodes(
-        world_np, batch=batch, max_gt_path_len=cfg.env.max_gt_path_len,
-        max_instr_len=cfg.env.max_instr_len,
-        max_imaginations=cfg.model.max_imagination_len,
-        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
-        seed=1)
-    world = jax.tree.map(jnp.asarray, world_np)
-    ep = jax.tree.map(jnp.asarray, ep_np)
+    # 1. the headline metric (always)
+    hamt = _AgentLane("hamt")
+    value = hamt.eval_eps(20)
+    chip = {"hamt_eval_eps_per_sec": value}
 
-    trainer = HamtTrainer(cfg, world)
-    state = trainer.init_state(ep)
-    eval_step = trainer.make_eval_step()
-    rng = jax.random.PRNGKey(0)
+    # 2. measured baseline anchors (the point of this bench; before extras)
+    torch_cpu_eps = None
+    jax_cpu_eps = None
+    if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1":
+        try:
+            torch_cpu_eps = measure_reference_torch_cpu(
+                max_seconds=min(120.0, max(left(), 45.0)))
+        except Exception as e:  # noqa: BLE001 - bench must always print
+            print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
+        try:
+            jax_cpu_eps = _AgentLane("hamt", device="cpu").eval_eps(3)
+        except Exception as e:  # noqa: BLE001
+            print(f"# jax-cpu measurement failed: {e!r}", file=sys.stderr)
 
-    # compile + warmup
-    out = eval_step(state.params, ep, rng)
-    jax.block_until_ready(out)
-
-    iters = 20
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = eval_step(state.params, ep, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-
-    eps_per_sec = batch * iters / dt
-    print(json.dumps({
+    # 3. extras, best effort under the remaining budget (compiles are
+    # persistent-cached in /tmp/vln_jax_cache, so repeat runs always finish)
+    try:
+        if left() > 0:
+            chip["hamt_train_step_ms"] = hamt.train_ms()
+        if left() > 0:
+            duet = _AgentLane("duet")
+            chip["duet_eval_eps_per_sec"] = duet.eval_eps(20)
+            if left() > 0:
+                chip["duet_train_step_ms"] = duet.train_ms()
+    except Exception as e:  # noqa: BLE001
+        print(f"# extras measurement failed: {e!r}", file=sys.stderr)
+    record = {
         "metric": "hamt_eval_episodes_per_sec_per_chip",
-        "value": round(eps_per_sec, 2),
+        "value": round(value, 2),
         "unit": "episodes/s",
-        "vs_baseline": round(eps_per_sec / ASSUMED_BASELINE_EPS_PER_SEC, 2),
-    }))
+        # measured: this chip vs the actual torch reference on this host CPU
+        "vs_baseline": (round(value / torch_cpu_eps, 2)
+                        if torch_cpu_eps else None),
+        "baseline": {
+            "reference_torch_cpu_eps_per_sec": (round(torch_cpu_eps, 3)
+                                                if torch_cpu_eps else None),
+            "ours_jax_cpu_eps_per_sec": (round(jax_cpu_eps, 3)
+                                         if jax_cpu_eps else None),
+            # same-hardware anchor: our jax path vs the torch reference,
+            # both on this host's CPU
+            "same_host_vs_baseline": (round(jax_cpu_eps / torch_cpu_eps, 2)
+                                      if torch_cpu_eps and jax_cpu_eps
+                                      else None),
+            "note": "reference measured with the ACTUAL NavCMT torch model "
+                    "(random weights) greedy rollout over the same synthetic "
+                    "world; the reference cannot run on TPU",
+        },
+        "extras": {
+            "duet_eval_episodes_per_sec_per_chip": round(
+                chip["duet_eval_eps_per_sec"], 2)
+            if "duet_eval_eps_per_sec" in chip else None,
+            "hamt_train_step_ms": round(chip["hamt_train_step_ms"], 1)
+            if "hamt_train_step_ms" in chip else None,
+            "duet_train_step_ms": round(chip["duet_train_step_ms"], 1)
+            if "duet_train_step_ms" in chip else None,
+        },
+    }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

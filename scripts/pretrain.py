@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--anno-dir")
     p.add_argument("--img-features")
     p.add_argument("--split", default="train")
+    p.add_argument("--no-prefetch", action="store_true",
+                   help="disable the native async feature-bank prefetcher "
+                        "on the real-data path")
     p.add_argument("--val-splits", nargs="*", default=None,
                    help="held-out validation splits (reference default: "
                         "val_seen val_unseen, main_r2r.py:303-316)")
@@ -120,8 +123,22 @@ def main():
 
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer
+    extra = {}
+    if args.agent == "hamt" and not args.synthetic and not args.no_prefetch:
+        # default real-data path: write the feature table to an mmap bank
+        # and overlap per-batch row gathers with device compute via the
+        # native BankPrefetcher (PrefetchLoader parity, loader.py:90-124)
+        import numpy as _np
+
+        from vln_imagine_tpu.native import FeatureBank
+        os.makedirs(args.log_dir, exist_ok=True)
+        bank_path = os.path.join(args.log_dir, "feature_bank.f32")
+        feat = _np.asarray(tables.feat)      # [S, N, V, Df]
+        S, N = feat.shape[:2]
+        extra["feature_bank"] = FeatureBank.write(
+            bank_path, feat.reshape(S * N, -1))
     pt = cls(cfg, tables, train.episodes,
-             image_prob_size=args.image_prob_size, seed=args.seed)
+             image_prob_size=args.image_prob_size, seed=args.seed, **extra)
     for v in val_splits:
         pt.add_validation_split(v.name, tables, v.episodes, seed=args.seed)
     state = pt.init_state()

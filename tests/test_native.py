@@ -115,3 +115,49 @@ def test_bank_prefetcher_overlapped_batches(tmp_path):
 
     with pytest.raises(RuntimeError):
         pf.wait()
+
+
+def test_prefetch_batcher_matches_synchronous(tmp_path):
+    """PrefetchTrajectoryBatcher (native async bank gathers, one batch
+    ahead) produces byte-identical batches to the synchronous
+    TrajectoryBatcher, and keeps a gather in flight between batches
+    (the PrefetchLoader overlap, pretrain_src/data/loader.py:90-124)."""
+    import jax
+
+    from vln_imagine_tpu.config import tiny_test_config
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+    from vln_imagine_tpu.pretrain.data import (
+        PrefetchTrajectoryBatcher, TrajectoryBatcher)
+
+    cfg = tiny_test_config("hamt")
+    world_np, _ = synthetic_world(
+        num_scans=2, num_nodes=12, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=16, seed=5)
+    ep = synthetic_episodes(
+        world_np, batch=6, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=6)
+    feat = np.asarray(world_np.feat)
+    S, N = feat.shape[:2]
+    bank = native.FeatureBank.write(
+        str(tmp_path / "bank.f32"), feat.reshape(S * N, -1))
+
+    kw = dict(max_hist_len=cfg.env.max_action_len, angle_feat_size=4,
+              image_prob_size=8, vocab_size=cfg.model.vocab_size, seed=9)
+    sync = TrajectoryBatcher(world_np, ep, **kw)
+    pref = PrefetchTrajectoryBatcher(world_np, ep, bank, **kw)
+    assert pref.w["feat"] is None  # features only reachable via the bank
+
+    for step, task in enumerate(["mlm", "sap", "mrc", "itm", "sprel", "sar"]):
+        a = sync.task_batch(task, 3)
+        b = pref.task_batch(task, 3)
+        # a gather for the NEXT batch is in flight/ready before this batch
+        # is consumed — the overlap window for the device step
+        assert pref._pending is not None
+        assert set(a) == set(b), (task, set(a) ^ set(b))
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{task}/{k}")
+    del jax  # imported to keep parity with the training-loop environment

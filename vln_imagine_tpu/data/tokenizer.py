@@ -13,7 +13,12 @@ import hashlib
 import re
 
 
-def get_tokenizer(dataset: str = "r2r", tokenizer: str | None = None):
+def get_tokenizer(dataset: str = "r2r", tokenizer: str | None = None,
+                  vocab_file: str | None = None):
+    """vocab_file: path to a real BERT WordPiece vocab.txt — the genuine
+    bert-base-uncased vocabulary without needing HF weights on disk."""
+    if vocab_file is not None:
+        return BertWordPieceTokenizer(vocab_file)
     name = ("xlm-roberta-base" if dataset == "rxr" or tokenizer == "xlm"
             else "bert-base-uncased")
     try:
@@ -22,6 +27,69 @@ def get_tokenizer(dataset: str = "r2r", tokenizer: str | None = None):
         return AutoTokenizer.from_pretrained(name, local_files_only=True)
     except Exception:
         return HashTokenizer(name)
+
+
+class BertWordPieceTokenizer:
+    """Real BERT WordPiece over a local vocab.txt (one token per line, line
+    number = id): lowercase + punctuation-splitting basic tokenizer, then
+    greedy longest-match-first subwords with '##' continuations — the
+    algorithm behind bert-base-uncased, so ids line up with released
+    checkpoints when given the genuine vocab file."""
+
+    MAX_WORD_CHARS = 100
+
+    def __init__(self, vocab_file: str):
+        self.name_or_path = vocab_file
+        with open(vocab_file, encoding="utf-8") as f:
+            self.vocab = {line.rstrip("\n"): i for i, line in enumerate(f)}
+        self.vocab_size = len(self.vocab)
+        self.pad_token_id = self.vocab.get("[PAD]", 0)
+        self.cls_token_id = self.vocab.get("[CLS]", 101)
+        self.sep_token_id = self.vocab.get("[SEP]", 102)
+        self.mask_token_id = self.vocab.get("[MASK]", 103)
+        self.unk_token_id = self.vocab.get("[UNK]", 100)
+
+    def _basic(self, text: str) -> list[str]:
+        return re.findall(r"[a-z0-9']+|[^\sa-z0-9]", text.lower())
+
+    def tokenize(self, text: str) -> list[str]:
+        out = []
+        for word in self._basic(text):
+            if len(word) > self.MAX_WORD_CHARS:
+                out.append("[UNK]")
+                continue
+            start, pieces = 0, []
+            while start < len(word):
+                end, cur = len(word), None
+                while start < end:
+                    sub = word[start:end]
+                    if start > 0:
+                        sub = "##" + sub
+                    if sub in self.vocab:
+                        cur = sub
+                        break
+                    end -= 1
+                if cur is None:
+                    pieces = ["[UNK]"]
+                    break
+                pieces.append(cur)
+                start = end
+            out.extend(pieces)
+        return out
+
+    def convert_tokens_to_ids(self, tokens: list[str]) -> list[int]:
+        return [self.vocab.get(t, self.unk_token_id) for t in tokens]
+
+    def encode(self, text: str, max_length: int | None = None) -> list[int]:
+        ids = [self.cls_token_id] \
+            + self.convert_tokens_to_ids(self.tokenize(text)) \
+            + [self.sep_token_id]
+        if max_length is not None and len(ids) > max_length:
+            ids = ids[: max_length - 1] + [self.sep_token_id]
+        return ids
+
+    def __call__(self, text: str, max_length: int | None = None, **kw):
+        return {"input_ids": self.encode(text, max_length)}
 
 
 class HashTokenizer:

@@ -44,6 +44,10 @@ class TrajectoryBatcher:
         self.vocab = vocab_size
         self.mask_token = mask_token
         self.rng = np.random.default_rng(seed)
+        # separate stream for batch-index draws so a pipelined subclass that
+        # draws indices one batch ahead (PrefetchTrajectoryBatcher) yields
+        # byte-identical batches to the synchronous order
+        self.idx_rng = np.random.default_rng(seed + 1)
         self.angle_table = all_point_angle_feature(angle_feat_size,
                                                    world.views)
         # per-episode viewpoint sequence and action views
@@ -58,6 +62,11 @@ class TrajectoryBatcher:
         hits = np.flatnonzero((adj == target) & valid)
         assert len(hits), "gt step is not a neighbour"
         return int(hits[0])
+
+    def _feat(self, scan, node) -> np.ndarray:
+        """[V, Df] panorama features of one node; subclasses may serve this
+        from an mmap feature bank instead of device-shadow arrays."""
+        return self.w["feat"][scan, node]
 
     def _view_heading(self, v):
         per = self.views // 3
@@ -86,7 +95,7 @@ class TrajectoryBatcher:
             node, nxt = path[i], path[i + 1]
             slot = self._action_slot(scan, node, nxt)
             pid = self.w["pointid"][scan, node, slot]
-            feat = self.w["feat"][scan, node]
+            feat = self._feat(scan, node)
             hist_img[i] = feat[pid]
             hist_node[i] = node
             hist_view[i] = pid
@@ -100,7 +109,7 @@ class TrajectoryBatcher:
 
         # observation at step t (layout [K cands | stop | V views])
         node = path[t]
-        feat = self.w["feat"][scan, node]
+        feat = self._feat(scan, node)
         adj_valid = self.w["adj_valid"][scan, node]
         pid = self.w["pointid"][scan, node]
         T_obs = K + 1 + V
@@ -267,8 +276,9 @@ class TrajectoryBatcher:
         batch["shuffled_pos_ids"] = shuffled
         return batch
 
-    def task_batch(self, task: str, batch_size: int):
-        idxs = self.rng.integers(0, self.ep.batch, batch_size)
+    def task_batch(self, task: str, batch_size: int, idxs=None):
+        if idxs is None:
+            idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
         if task == "mlm":
             return self.mlm_batch(idxs)
         if task == "mrc":
@@ -340,6 +350,61 @@ class E2EImageBatcher(TrajectoryBatcher):
         for fk in self.IMAGE_KEYS:
             batch.pop(fk, None)
         return batch
+
+
+class PrefetchTrajectoryBatcher(TrajectoryBatcher):
+    """TrajectoryBatcher whose panorama features are served from a native
+    mmap FeatureBank through the C++ BankPrefetcher: while the device
+    executes the step for batch t, the worker thread gathers the pano rows
+    for batch t+1 (the reference PrefetchLoader overlap,
+    pretrain_src/data/loader.py:90-124, moved host-side).
+
+    Bank layout: row (scan * N + node) = that node's [V * Df] panorama
+    features.  Batch indices come from `idx_rng` (a stream separate from the
+    label RNG), so the one-batch-ahead draw yields byte-identical batches to
+    the synchronous TrajectoryBatcher with the same seed."""
+
+    def __init__(self, world: WorldTables, ep: EpisodeBatch, bank,
+                 max_batch_rows: int = 1024, **kwargs):
+        from vln_imagine_tpu.native import BankPrefetcher
+
+        super().__init__(world, ep, **kwargs)
+        self.N = np.asarray(world.node_xyz).shape[1]
+        self.bank = bank
+        assert bank.row_floats == self.views * self.Df, (
+            f"bank rows must be [V*Df]={self.views * self.Df} floats, "
+            f"got {bank.row_floats}")
+        self.pf = BankPrefetcher(bank, max_batch_rows)
+        self.w["feat"] = None  # all feature reads go through the bank
+        self._pending = None   # (idxs, row_ids) of the submitted gather
+        self._row_cache: dict[int, np.ndarray] = {}
+
+    def _feat(self, scan, node) -> np.ndarray:
+        rid = int(scan) * self.N + int(node)
+        return self._row_cache[rid].reshape(self.views, self.Df)
+
+    def _submit(self, batch_size: int):
+        idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
+        # the full path covers every node any step draw can touch, so the
+        # gather is valid for whichever task/steps get sampled next
+        rows = sorted({int(self.scans[b]) * self.N + int(n)
+                       for b in idxs for n in self.paths[b]})
+        self.pf.submit(np.asarray(rows, np.int64))
+        return idxs, rows
+
+    def task_batch(self, task: str, batch_size: int, idxs=None):
+        assert idxs is None, "prefetching batcher draws its own indices"
+        if self._pending is None or len(self._pending[0]) != batch_size:
+            if self._pending is not None:
+                self.pf.wait()  # drain a mismatched in-flight job
+            self._pending = self._submit(batch_size)
+        idxs, rows = self._pending
+        gathered = self.pf.wait()
+        self._row_cache = {rid: gathered[i] for i, rid in enumerate(rows)}
+        # submit the NEXT batch before assembling this one: the C++ worker
+        # gathers (GIL released) while numpy assembly + the device step run
+        self._pending = self._submit(batch_size)
+        return super().task_batch(task, batch_size, idxs=idxs)
 
 
 class MetaSampler:

@@ -243,9 +243,13 @@ class HamtPretrainer(BasePretrainer):
 
     def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
                  image_prob_size: int = 64, seed: int | None = None,
-                 donate: bool = True):
+                 donate: bool = True, feature_bank=None):
         super().__init__(cfg, donate=donate)
         self._image_prob_size = image_prob_size
+        # native async prefetcher over an mmap feature bank: the default on
+        # the real-data path (scripts/pretrain.py writes the bank), opt-in
+        # for synthetic runs
+        self._feature_bank = feature_bank
         self.model = HamtPretrainModel(cfg.model,
                                        image_prob_size=image_prob_size,
                                        tasks=tuple(cfg.pretrain.tasks))
@@ -253,11 +257,16 @@ class HamtPretrainer(BasePretrainer):
             world, ep, seed if seed is not None else cfg.pretrain.seed)
 
     def _make_batcher(self, world: WorldTables, ep: EpisodeBatch, seed: int):
-        return TrajectoryBatcher(
-            world, ep, max_hist_len=self.cfg.env.max_action_len,
-            angle_feat_size=self.cfg.model.angle_feat_size,
-            image_prob_size=self._image_prob_size,
-            vocab_size=self.cfg.model.vocab_size, seed=seed)
+        kw = dict(max_hist_len=self.cfg.env.max_action_len,
+                  angle_feat_size=self.cfg.model.angle_feat_size,
+                  image_prob_size=self._image_prob_size,
+                  vocab_size=self.cfg.model.vocab_size, seed=seed)
+        if self._feature_bank is not None:
+            from vln_imagine_tpu.pretrain.data import \
+                PrefetchTrajectoryBatcher
+            return PrefetchTrajectoryBatcher(world, ep, self._feature_bank,
+                                             **kw)
+        return TrajectoryBatcher(world, ep, **kw)
 
 
 class DuetPretrainer(BasePretrainer):
