@@ -387,3 +387,80 @@ def test_act_pred_token_variants(pair, inputs, act_pred_token):
     valid = inputs["ob_nav"] != 0
     np.testing.assert_allclose(np.asarray(out.act_logits)[valid],
                                act_ref[valid], **TOL)
+
+
+def test_one_rollout_step_on_envx_observations(pair):
+    """One full greedy rollout step: compiled-env observations (envx) feed
+    BOTH models — the flax HamtModel and the actual reference torch NavCMT —
+    and the action logits, embeddings, chosen actions and resulting env
+    transition must agree.  This pins the observation conventions (angle
+    features, nav types, -10000 masks, [cands|STOP|views] layout) to the
+    reference forward, not just the isolated modules."""
+    from vln_imagine_tpu.envx import env as envx
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+
+    ref, params, cfg = pair
+    B2 = 2
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=20, max_candidates=6, views=12,
+        feat_dim=768, seed=21)
+    ep_np = synthetic_episodes(
+        world_np, batch=B2, max_gt_path_len=5, max_instr_len=L_TXT,
+        max_imaginations=N_IMAG, vocab_size=1000, feat_dim=HIDDEN, seed=22)
+    world = jax.tree.map(jnp.asarray, world_np)
+    ep = jax.tree.map(jnp.asarray, ep_np)
+
+    state0 = envx.reset(world, ep, max_action_len=8)
+    obs = envx.observe_hamt(world, ep, state0, angle_feat_size=4)
+
+    model = HamtModel(cfg.model, feat_dropout=0.0)
+    txt = model.apply(params, ep.txt_ids, ep.txt_mask,
+                      method=HamtModel.language)
+    imag = model.apply(params, ep.imagine_feats, method=HamtModel.imagine)
+    h0 = model.apply(params, B2, method=HamtModel.history_initial)
+    out = model.apply(
+        params, txt, ep.txt_mask, h0[:, None, :], jnp.ones((B2, 1), bool),
+        obs.img, obs.ang, obs.nav_types, obs.valid,
+        imagine_embeds=imag, imagine_mask=ep.imagine_mask,
+        method=HamtModel.visual)
+
+    with torch.no_grad():
+        txt_t = ref("language", txt_ids=_t(np.asarray(ep.txt_ids)),
+                    txt_masks=_t(np.asarray(ep.txt_mask)).float())
+        imag_t = ref("imagine",
+                     imagine_pano_img_feats=_t(np.asarray(ep.imagine_feats)))
+        h0_t = ref("history").expand(B2, -1).unsqueeze(1)
+        act_ref, txt_ref, hist_ref, ob_ref = ref(
+            "visual", txt_embeds=txt_t,
+            txt_masks=_t(np.asarray(ep.txt_mask)).float(),
+            hist_embeds=h0_t, hist_masks=torch.ones(B2, 1),
+            ob_img_feats=_t(np.asarray(obs.img)),
+            ob_ang_feats=_t(np.asarray(obs.ang)),
+            ob_nav_types=_t(np.asarray(obs.nav_types)).long(),
+            ob_masks=_t(np.asarray(obs.valid)).float(),
+            imagine_embeds=imag_t,
+            imagine_masks=_t(np.asarray(ep.imagine_mask)).float())
+
+    nav = np.asarray(obs.nav_types)
+    valid = (nav != 0) & np.asarray(obs.valid)
+    np.testing.assert_allclose(np.asarray(out.act_logits)[valid],
+                               act_ref.numpy()[valid], **TOL)
+    np.testing.assert_allclose(np.asarray(out.ob_embeds), ob_ref.numpy(),
+                               **TOL)
+    np.testing.assert_allclose(np.asarray(out.state),
+                               txt_ref.numpy()[:, 0] * hist_ref.numpy()[:, 0],
+                               **TOL)
+
+    # same greedy action, and the env transition lands on that candidate
+    mine = np.asarray(jnp.argmax(out.act_logits, -1))
+    theirs = act_ref.numpy().argmax(-1)
+    np.testing.assert_array_equal(mine, theirs)
+    state1 = envx.step_hamt(world, ep, state0, jnp.asarray(mine))
+    adj = np.asarray(world_np.adj)
+    scans = np.asarray(ep_np.scan)
+    nodes0 = np.asarray(state0.node)
+    K = world_np.max_candidates
+    for b in range(B2):
+        want = (nodes0[b] if mine[b] >= K
+                else adj[scans[b], nodes0[b], mine[b]])
+        assert int(np.asarray(state1.node)[b]) == int(want)
