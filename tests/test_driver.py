@@ -36,6 +36,7 @@ def driver(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_run_produces_checkpoints_and_logs(driver):
     driver.run(iters=4, log_every=2)
     assert os.path.exists(os.path.join(driver.log_dir, "train.txt"))
@@ -65,6 +66,7 @@ def test_validation_writes_submission_and_metrics(driver):
     assert isinstance(vp, str) and isinstance(heading, float)
 
 
+@pytest.mark.slow
 def test_driver_runs_on_data_mesh(tmp_path):
     """Full driver loop with state replicated and batches sharded over the
     8-device virtual CPU mesh (the reference's DDP training)."""

@@ -81,6 +81,7 @@ def test_fused_logit_merge_matches_reference_loop():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_teacher_rollout_reaches_goal(setup):
     cfg, _, world, ep, trainer, state = setup
     res = rollout_duet(trainer.model, state.params, world, ep, cfg,
@@ -111,6 +112,7 @@ def test_eval_rollout_paths_are_graph_walks(setup):
             assert c in adj[scan[b], a][adj_valid[scan[b], a]], (b, a, c)
 
 
+@pytest.mark.slow
 def test_rl_train_step(setup):
     """train_alg='rl' runs a working A2C (the reference's branch is inert:
     agent_base.py:213-220 passes train_rl=True but rollout ignores it)."""
@@ -135,6 +137,7 @@ def test_rl_train_step(setup):
     assert max(jax.tree.leaves(c_deltas)) > 0
 
 
+@pytest.mark.slow
 def test_dagger_train_step(setup):
     cfg, _, world, ep, trainer, state = setup
     step = trainer.make_train_step(donate=False)
@@ -146,6 +149,7 @@ def test_dagger_train_step(setup):
     assert max(jax.tree.leaves(deltas)) > 0
 
 
+@pytest.mark.slow
 def test_expl_sample_rollout(setup):
     """expl_sample (agent.py:555-565): greedy w/ random exploration; actions
     stay within the valid action set and the rollout stays finite."""

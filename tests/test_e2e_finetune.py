@@ -52,6 +52,7 @@ def _vit_delta(p1, p2):
         lambda x, y: float(jnp.abs(x - y).max()), a, b)))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["frozen", "trainable"])
 def test_hamt_e2e_imagination_train_step(mode):
     cfg = _e2e_cfg("hamt", mode)
@@ -88,6 +89,7 @@ def test_hamt_e2e_eval_runs():
     assert np.asarray(lens).min() >= 1
 
 
+@pytest.mark.slow
 def test_duet_e2e_imagination_train_step():
     cfg = _e2e_cfg("duet", "frozen")
     world, ep = _world_and_ep(cfg)

@@ -7,8 +7,10 @@ import numpy as np
 from vln_imagine_tpu.config import tiny_test_config, _replace
 from vln_imagine_tpu.models.vit import ViTConfig
 from vln_imagine_tpu.pretrain.hamt_e2e import HamtE2EPretrainModel
+import pytest
 
 
+@pytest.mark.slow
 def test_e2e_sap_grads_flow_through_obs_only():
     cfg = _replace(tiny_test_config("hamt"), "model",
                    image_feat_size=48).model
@@ -78,6 +80,7 @@ def test_e2e_sap_grads_flow_through_obs_only():
         "history panoramas must be frozen (torch.no_grad)"
 
 
+@pytest.mark.slow
 def test_e2e_six_task_pretrain_run():
     """All six image tasks (mlm/sap/sar/sprel/mrc/itm,
     data/image_tasks.py:16-508) train end-to-end with the ViT in the loop,

@@ -38,6 +38,7 @@ def _roll(trainer, world, cfg, params, cparams, ep, rng, **kw):
                         world, ep, cfg, rng, deterministic=True, **kw)
 
 
+@pytest.mark.slow
 def test_all_il_mixed_matches_teacher(setup):
     cfg, world, trainer, state, (ep, _) = setup
     rng = jax.random.PRNGKey(0)
@@ -56,6 +57,7 @@ def test_all_il_mixed_matches_teacher(setup):
     assert float(mixed.rl_loss) == 0.0  # RL terms fully masked
 
 
+@pytest.mark.slow
 def test_all_rl_mixed_matches_sample(setup):
     cfg, world, trainer, state, (ep, _) = setup
     rng = jax.random.PRNGKey(4)
@@ -74,6 +76,7 @@ def test_all_rl_mixed_matches_sample(setup):
     assert float(mixed.ml_loss) == 0.0  # CE fully masked
 
 
+@pytest.mark.slow
 def test_fused_halves_match_separate_il(setup):
     """In a half/half fused batch the IL half's CE and both halves' aux
     losses equal the separate per-rollout values (the RL half's sampled
@@ -103,6 +106,7 @@ def test_fused_halves_match_separate_il(setup):
     assert np.isfinite(float(mixed.rl_loss))
 
 
+@pytest.mark.slow
 def test_fused_train_step_runs_and_updates(setup):
     from vln_imagine_tpu.config import _replace
 

@@ -14,6 +14,7 @@ import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "goldens.npz")
 
@@ -59,6 +60,7 @@ def _build():
     return out
 
 
+@pytest.mark.slow
 def test_rollout_numerics_match_goldens():
     assert os.path.exists(GOLDEN), \
         "goldens missing — run `python tests/test_golden.py regen`"

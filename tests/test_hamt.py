@@ -72,6 +72,7 @@ def test_aux_loss_zero_when_no_imaginations(setup):
     assert float(res.aux_loss) == 0.0
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_warmup_freeze(setup):
     cfg, _, world, ep, trainer, state = setup
     step = trainer.make_train_step("sample", donate=False)

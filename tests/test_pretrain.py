@@ -57,6 +57,7 @@ def test_mlm_masking_rules(hamt_pt):
     assert (batch["txt_masks"] | (labels == -1)).all()
 
 
+@pytest.mark.slow
 def test_hamt_pretrain_steps_and_validation(hamt_pt):
     pt, state = hamt_pt
     # the train step donates its input state; train on a copy so the
@@ -81,6 +82,7 @@ def test_sap_labels_match_teacher(hamt_pt):
             assert batch["ob_nav_types"][i, a] == 1
 
 
+@pytest.mark.slow
 def test_duet_pretrain_end_to_end():
     cfg, world, _, ep = _setup("duet", tasks=("mlm", "mrc", "sap"),
                                mix=(1, 1, 1))
@@ -115,6 +117,7 @@ def test_pretrained_weights_transfer_to_finetune(hamt_pt):
         any("imagine" in m for m, _ in missing)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_updates_every_k():
     """PretrainConfig.gradient_accumulation_steps: params change only on
     every k-th micro-step, matching main_r2r.py:240-280 (loss/k per

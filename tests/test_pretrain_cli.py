@@ -5,6 +5,7 @@ tested here)."""
 
 import os
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -46,6 +47,7 @@ def test_task_override_sets_uniform_mix(monkeypatch):
     assert cfg.pretrain.mix_ratio == (1, 1)
 
 
+@pytest.mark.slow
 def test_resume_graft_roundtrip(tmp_path):
     """model_step_N snapshots restore onto a PretrainState via the
     structural graft (the CLI's --resume path)."""

@@ -225,6 +225,7 @@ def test_imagine_bypass(pair, inputs):
     np.testing.assert_allclose(got, want, **TOL)
 
 
+@pytest.mark.slow
 def test_imagine_full_encoder(inputs):
     """Non-bypass ImagineEmbeddings (vilmodel_cmt.py:634-703)."""
     V = _import_ref_hamt()
@@ -366,6 +367,7 @@ def test_visual_mode(pair, inputs, concat):
 @pytest.mark.parametrize("act_pred_token",
                          ["ob", "ob_txt", "ob_hist", "ob_txt_hist",
                           "ob_imagine_text"])
+@pytest.mark.slow
 def test_act_pred_token_variants(pair, inputs, act_pred_token):
     """Every head-input variant (vilmodel_cmt.py:1187-1199) on shared
     weights."""

@@ -53,6 +53,7 @@ def test_observation_includes_object_tokens(setup):
         assert obj_valid[b].sum() == want
 
 
+@pytest.mark.slow
 def test_reverie_rollout_grounds_objects(setup):
     cfg, world_np, world, ep = setup
     trainer = DuetTrainer(cfg, world)
@@ -71,6 +72,7 @@ def test_reverie_rollout_grounds_objects(setup):
             assert pred[b] in obj_ids  # a real object id from the world
 
 
+@pytest.mark.slow
 def test_reverie_train_step(setup):
     cfg, _, world, ep = setup
     trainer = DuetTrainer(cfg, world)
@@ -139,6 +141,7 @@ def test_hamt_reverie_rollout_grounds_objects(hamt_setup):
             assert pred[b] in obj_ids
 
 
+@pytest.mark.slow
 def test_hamt_reverie_train_step(hamt_setup):
     from vln_imagine_tpu.train.trainer import HamtTrainer
 

@@ -92,6 +92,7 @@ def test_load_obj2vps(fixture_data):
     assert "sc_999" not in obj2vps  # no visible positions
 
 
+@pytest.mark.slow
 def test_reverie_validate_round_trip(fixture_data):
     """Full round trip: fixture object HDF5 -> WorldTables -> REVERIE
     annotations (objId targets) -> driver.validate emits rgs/rgspl

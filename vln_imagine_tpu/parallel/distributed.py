@@ -44,23 +44,43 @@ def shard_indices(n: int, process_id: int | None = None,
     return slice(start, end)
 
 
+def _encode_payload(obj: Any) -> np.ndarray:
+    """pickle -> uint8 vector (the reference's ByteTensor encoding,
+    distributed.py:96-103)."""
+    return np.frombuffer(pickle.dumps(obj), np.uint8)
+
+
+def _pad_payload(payload: np.ndarray, max_size: int) -> np.ndarray:
+    padded = np.zeros(max_size, np.uint8)
+    padded[: payload.size] = payload
+    return padded
+
+
+def _decode_payloads(gathered: np.ndarray, sizes: np.ndarray) -> list[Any]:
+    """[W, max_size] padded byte rows + per-row sizes -> objects
+    (distributed.py:120-130)."""
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+            for i in range(len(sizes))]
+
+
 def all_gather_objects(obj: Any) -> list[Any]:
     """Gather arbitrary picklable objects from every host
     (distributed.py:90-130: pickle -> padded byte tensors -> all_gather).
-    Implemented over multihost_utils' array gather."""
+    Implemented over multihost_utils' array gather; the encode/pad/decode
+    byte path is shared with the single-process branch so it is exercised
+    on every call (and unit-testable without multiple hosts)."""
+    payload = _encode_payload(obj)
     if jax.process_count() == 1:
-        return [obj]
+        sizes = np.asarray([payload.size], np.int64)
+        gathered = _pad_payload(payload, int(payload.size))[None, :]
+        return _decode_payloads(gathered, sizes)
     from jax.experimental import multihost_utils
 
-    payload = np.frombuffer(pickle.dumps(obj), np.uint8)
     size = np.asarray([payload.size], np.int32)
     sizes = np.asarray(multihost_utils.process_allgather(size)).reshape(-1)
-    max_size = int(sizes.max())
-    padded = np.zeros(max_size, np.uint8)
-    padded[: payload.size] = payload
+    padded = _pad_payload(payload, int(sizes.max()))
     gathered = np.asarray(multihost_utils.process_allgather(padded))
-    return [pickle.loads(gathered[i, : sizes[i]].tobytes())
-            for i in range(len(sizes))]
+    return _decode_payloads(gathered, sizes)
 
 
 def merge_results(results_per_host: Sequence[Sequence[dict]],
