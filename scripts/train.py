@@ -284,13 +284,12 @@ def main():
     else:
         tables, train, vals, graphs = build_real(cfg, args)
 
-    mesh = None
     if args.mesh_data:
-        from vln_imagine_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(data=args.mesh_data, model=args.mesh_model)
+        cfg = _replace(cfg, "mesh", data_parallelism=args.mesh_data,
+                       model_parallelism=args.mesh_model)
 
     driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir,
-                            graphs=graphs, mesh=mesh)
+                            graphs=graphs)
     driver.setup()
     if args.resume:
         driver.load_checkpoint(args.resume)

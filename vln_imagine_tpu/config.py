@@ -31,7 +31,8 @@ class ModelConfig:
     intermediate_size: int = 3072
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
-    layer_norm_eps: float = 1e-12
+    # LayerNorm eps is not a knob: BERT blocks are pinned at 1e-12 and DETR
+    # pre-norm blocks at 1e-5 (models/bert.py) to hold checkpoint parity.
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
     pred_head_dropout_prob: float = 0.1
@@ -188,11 +189,12 @@ class PretrainConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device-mesh axes: data (DP over batch) x model (TP over heads/ffn)."""
+    """Device-mesh shape: axes are always ('data', 'model') — DP over the
+    batch x TP over heads/ffn (parallel/mesh.py).  The CLI's --mesh-data /
+    --mesh-model flags write here; FinetuneDriver reads it when no explicit
+    mesh object is passed."""
 
-    data_axis: str = "data"
-    model_axis: str = "model"
-    data_parallelism: int = -1  # -1: all devices on the data axis
+    data_parallelism: int = 0  # 0: no mesh; -1: all devices on data axis
     model_parallelism: int = 1
 
 

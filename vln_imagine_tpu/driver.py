@@ -60,7 +60,12 @@ class FinetuneDriver:
         # optional jax.sharding.Mesh (parallel.mesh.make_mesh): batch axes
         # shard over 'data' (the reference's DDP, utils/distributed.py),
         # large kernels over 'model' when model>1; XLA inserts the gradient
-        # reductions
+        # reductions.  When no mesh object is passed, MeshConfig decides
+        # (data_parallelism 0 = single device, -1 = all devices on data).
+        if mesh is None and cfg.mesh.data_parallelism != 0:
+            from vln_imagine_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(data=cfg.mesh.data_parallelism,
+                             model=cfg.mesh.model_parallelism)
         self.mesh = mesh
         self.train_split = train_split
         self.val_splits = val_splits

@@ -29,7 +29,8 @@ class TrajectoryBatcher:
     def __init__(self, world: WorldTables, ep: EpisodeBatch,
                  max_hist_len: int, angle_feat_size: int = 4,
                  image_prob_size: int = 64, vocab_size: int = 1000,
-                 mask_token: int = MASK_TOKEN, seed: int = 0):
+                 mask_token: int = MASK_TOKEN, seed: int = 0,
+                 mlm_prob: float = 0.15, mrc_prob: float = 0.15):
         self.w = {k: np.asarray(v) for k, v in
                   dict(adj=world.adj, adj_valid=world.adj_valid,
                        pointid=world.cand_pointid, head=world.cand_heading,
@@ -43,6 +44,8 @@ class TrajectoryBatcher:
         self.P = image_prob_size
         self.vocab = vocab_size
         self.mask_token = mask_token
+        self.mlm_prob = mlm_prob
+        self.mrc_prob = mrc_prob
         self.rng = np.random.default_rng(seed)
         # separate stream for batch-index draws so a pipelined subclass that
         # draws indices one batch ahead (PrefetchTrajectoryBatcher) yields
@@ -191,8 +194,9 @@ class TrajectoryBatcher:
             "cur_view": np.asarray([it["cur_view"] for it in items]),
         }
 
-    def mlm_batch(self, idxs, mlm_prob=0.15):
+    def mlm_batch(self, idxs, mlm_prob=None):
         """BERT-style 80/10/10 masking (r2r_tasks.py:12-53)."""
+        mlm_prob = self.mlm_prob if mlm_prob is None else mlm_prob
         batch = self.base_batch(idxs)
         ids = batch["txt_ids"].copy()
         labels = np.full_like(ids, -1)
@@ -212,9 +216,10 @@ class TrajectoryBatcher:
         batch["txt_labels"] = labels
         return batch
 
-    def mrc_batch(self, idxs, mrc_prob=0.15):
+    def mrc_batch(self, idxs, mrc_prob=None):
         """Mask whole history steps; soft labels are ViT class probs for the
         step view (synthetic: random simplex vectors) (r2r_tasks.py:155-228)."""
+        mrc_prob = self.mrc_prob if mrc_prob is None else mrc_prob
         batch = self.base_batch(idxs)
         B = len(idxs)
         lens = batch["hist_masks"][:, 1:].sum(1)

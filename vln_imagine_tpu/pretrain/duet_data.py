@@ -24,7 +24,7 @@ class DuetTrajectoryBatcher:
                  max_hist_len: int, max_gmap_nodes: int,
                  angle_feat_size: int = 4, image_prob_size: int = 64,
                  vocab_size: int = 1000, seed: int = 0,
-                 end_vp_pos_ratio: float = 0.2):
+                 end_vp_pos_ratio: float = 0.2, mlm_prob: float = 0.15):
         self.w = {k: np.asarray(v) for k, v in
                   dict(adj=world.adj, adj_valid=world.adj_valid,
                        pointid=world.cand_pointid, head=world.cand_heading,
@@ -42,6 +42,7 @@ class DuetTrajectoryBatcher:
         self.ep = ep
         self.rng = np.random.default_rng(seed)
         self.end_ratio = end_vp_pos_ratio
+        self.mlm_prob = mlm_prob
         self.angle_table = all_point_angle_feature(angle_feat_size,
                                                    world.views)
         self.paths = [np.asarray(ep.gt_path[b, :ep.gt_len[b]])
@@ -275,7 +276,8 @@ class DuetTrajectoryBatcher:
 
         return out
 
-    def mlm_batch(self, idxs, mlm_prob=0.15):
+    def mlm_batch(self, idxs, mlm_prob=None):
+        mlm_prob = self.mlm_prob if mlm_prob is None else mlm_prob
         batch = self.base_batch(idxs)
         ids = batch["txt_ids"].copy()
         labels = np.full_like(ids, -1)

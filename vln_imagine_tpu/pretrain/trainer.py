@@ -260,7 +260,9 @@ class HamtPretrainer(BasePretrainer):
         kw = dict(max_hist_len=self.cfg.env.max_action_len,
                   angle_feat_size=self.cfg.model.angle_feat_size,
                   image_prob_size=self._image_prob_size,
-                  vocab_size=self.cfg.model.vocab_size, seed=seed)
+                  vocab_size=self.cfg.model.vocab_size, seed=seed,
+                  mlm_prob=self.cfg.pretrain.mlm_prob,
+                  mrc_prob=self.cfg.pretrain.mrc_prob)
         if self._feature_bank is not None:
             from vln_imagine_tpu.pretrain.data import \
                 PrefetchTrajectoryBatcher
@@ -302,7 +304,8 @@ class DuetPretrainer(BasePretrainer):
             max_gmap_nodes=self.cfg.env.max_gmap_nodes,
             angle_feat_size=self.cfg.model.angle_feat_size,
             image_prob_size=self._image_prob_size,
-            vocab_size=self.cfg.model.vocab_size, seed=seed)
+            vocab_size=self.cfg.model.vocab_size, seed=seed,
+            mlm_prob=self.cfg.pretrain.mlm_prob)
 
 
 class E2EPretrainer(BasePretrainer):
@@ -336,4 +339,6 @@ class E2EPretrainer(BasePretrainer):
             world, ep, self._images, max_hist_len=self.cfg.env.max_action_len,
             angle_feat_size=self.cfg.model.angle_feat_size,
             image_prob_size=self._image_prob_size,
-            vocab_size=self.cfg.model.vocab_size, seed=seed)
+            vocab_size=self.cfg.model.vocab_size, seed=seed,
+            mlm_prob=self.cfg.pretrain.mlm_prob,
+            mrc_prob=self.cfg.pretrain.mrc_prob)
