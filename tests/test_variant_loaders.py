@@ -76,6 +76,44 @@ def test_r2r_back_returnback_loader(tmp_path):
     assert int(np.asarray(ep.midstop)[0]) == 4
 
 
+def test_soon_jsonl_loader(tmp_path):
+    """SOON bert_enc jsonl: per-instruction dicts with 'full' text variants
+    and goal bboxes carrying pseudo obj labels (soon/data_utils.py:27-70);
+    the goal-viewpoint pseudo label becomes the grounding target objId
+    (soon/env.py:257-264)."""
+    g = _graph()
+    end_vp = g.node_ids[3]
+    item = {
+        "path_id": 55, "scan": "sc", "heading": 0.5,
+        "path": [g.node_ids[0], g.node_ids[3]],
+        "instructions": [{"full": "find the red lamp in the study"}],
+        "instr_encodings": [{"full": [1, 21, 22, 23, 2]}],
+        "bboxes": [
+            {"image_id": end_vp,
+             "pseudo_label": {"obj_id": 7, "idx": 0}},
+            {"image_id": g.node_ids[5], "pseudo_label": None},
+        ],
+    }
+    anno = tmp_path / "anno"
+    (anno / "bert_enc").mkdir(parents=True)
+    (anno / "bert_enc" / "val_unseen_house_enc_pseudo_obj_label.jsonl"
+     ).write_text(json.dumps(item) + "\n")
+
+    items = construct_instrs(str(anno), "soon", ["val_unseen_house"])
+    assert items[0]["instr_id"] == "55_0"
+    assert items[0]["instruction"] == "find the red lamp in the study"
+    assert items[0]["instr_encoding"] == [1, 21, 22, 23, 2]
+    assert items[0]["end_image_ids"] == [end_vp, g.node_ids[5]]
+    assert items[0]["objId"] == 7  # pseudo label at the goal viewpoint
+
+    ep, ids = episodes_from_annotations(
+        items, [g], AuxMetadata(), max_instr_len=8, max_gt_path_len=4,
+        max_imaginations=2, imagine_feat_dim=8)
+    assert ids == ["55_0"]
+    assert ep.gt_obj_id is not None
+    assert int(np.asarray(ep.gt_obj_id)[0]) == 7
+
+
 def test_cvdn_dialog_loader(tmp_path):
     """CVDN NDH files: pre-encoded dialog history, start pano + end_panos
     (cvdn/main.py:24-27, env.py:30-45); goal-progress lists and full

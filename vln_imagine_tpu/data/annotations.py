@@ -68,6 +68,10 @@ def load_instr_datasets(anno_dir: str, dataset: str,
                     item = json.loads(line)
                     item["end_image_ids"] = [x["image_id"]
                                              for x in item["bboxes"]]
+                    # image_id -> pseudo obj label (soon/data_utils.py:41)
+                    item["image_id_to_obj_label"] = {
+                        x["image_id"]: x.get("pseudo_label")
+                        for x in item["bboxes"]}
                     item["bboxes"] = {x["image_id"]: x
                                       for x in item["bboxes"]}
                     data.append(item)
@@ -121,6 +125,14 @@ def construct_instrs(anno_dir: str, dataset: str, splits: list[str],
                 enc = item["instr_encodings"][j]
                 if isinstance(enc, dict):
                     enc = enc["full"]
+                # grounding target: the pseudo obj label at the goal
+                # viewpoint (soon/env.py:257-264 reads it per-step from
+                # image_id_to_obj_label; the stop viewpoint is path[-1])
+                if new_item.get("objId") is None and item.get("path"):
+                    label = item.get("image_id_to_obj_label", {}).get(
+                        item["path"][-1])
+                    new_item["objId"] = (label["obj_id"]
+                                         if label is not None else None)
             else:
                 new_item["instr_id"] = f"{item['path_id']}_{j}"
                 new_item["instruction"] = instr
