@@ -108,9 +108,25 @@ class _AgentLane:
         self.trainer = trainer_cls(cfg, self.world)
         self.trainer.tx = self.trainer._tx_builder(self.state.params)
 
-    def eval_eps(self, iters: int) -> float:
+    def eval_eps(self, iters: int, fixed_horizon: bool = False) -> float:
+        """fixed_horizon: run all STEPS steps (no early exit) — used for the
+        same-host anchor so both frameworks do identical work regardless of
+        what the random-weight policy's stop behaviour happens to be."""
         with jax.default_device(self.dev):
-            step = self.trainer.make_eval_step()
+            if fixed_horizon and self.agent == "hamt":
+                from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+                trainer, world, cfg = self.trainer, self.world, self.trainer.cfg
+
+                @jax.jit
+                def step(params, ep, rng):
+                    res = rollout_hamt(trainer.model, trainer.critic, params,
+                                       None, world, ep, cfg, rng,
+                                       feedback="argmax", train_ml=None,
+                                       train_rl=False, deterministic=True,
+                                       early_exit=False)
+                    return res.path_nodes, res.path_len
+            else:
+                step = self.trainer.make_eval_step()
             rng = jax.random.PRNGKey(0)
             dt = _time_fn(
                 lambda i: step(self.state.params, self.ep,
@@ -179,6 +195,7 @@ def measure_reference_torch_cpu(max_seconds: float = 150.0):
     c.contrastive_margin_value = 1.0
     c.concat_imagine_with = "language"
     c.no_loss_test = False
+    torch.manual_seed(0)  # deterministic weights -> deterministic work
     model = NavCMT(c).eval()
 
     from vln_imagine_tpu.envx.hostsim import GraphSimulator
@@ -244,7 +261,7 @@ def measure_reference_torch_cpu(max_seconds: float = 150.0):
     episodes = 0
     t0 = time.perf_counter()
     with torch.no_grad():
-        while time.perf_counter() - t0 < max_seconds and episodes < 4 * BATCH:
+        while time.perf_counter() - t0 < max_seconds and episodes < 2 * BATCH:
             nodes = starts.copy()
             for b in range(BATCH):
                 g = graphs[scans[b]]
@@ -284,8 +301,10 @@ def measure_reference_torch_cpu(max_seconds: float = 150.0):
                     sims[b].makeAction(0, float(heading[s, n,
                                                         cand_k[acts[b]]]), 0.0)
                     nodes[b] = nxt
-                if ended.all():
-                    break
+                # NO early break: run the full fixed horizon so the measured
+                # work matches the jax lanes (which pad every episode to
+                # STEPS steps); ended items still get batched forwards,
+                # exactly like the padded XLA program.
             episodes += BATCH
     dt = time.perf_counter() - t0
     return episodes / dt
@@ -299,40 +318,60 @@ def main():
         pass
 
     t_start = time.perf_counter()
-    budget_s = float(os.environ.get("VLN_BENCH_BUDGET_S", "450"))
+    budget_s = float(os.environ.get("VLN_BENCH_BUDGET_S", "420"))
 
     def left():
         return budget_s - (time.perf_counter() - t_start)
 
+    def mark(stage):
+        print(f"# bench +{time.perf_counter() - t_start:.0f}s: {stage}",
+              file=sys.stderr)
+
     # 1. the headline metric (always)
     hamt = _AgentLane("hamt")
+    mark("hamt lane ready")
     value = hamt.eval_eps(20)
     chip = {"hamt_eval_eps_per_sec": value}
+    mark("hamt eval done")
 
     # 2. measured baseline anchors (the point of this bench; before extras)
     torch_cpu_eps = None
     jax_cpu_eps = None
-    if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1":
+    if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1" and left() > 60:
         try:
             torch_cpu_eps = measure_reference_torch_cpu(
-                max_seconds=min(120.0, max(left(), 45.0)))
+                max_seconds=min(60.0, max(left() - 20.0, 20.0)))
+            mark("torch baseline done")
         except Exception as e:  # noqa: BLE001 - bench must always print
             print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
-        try:
-            jax_cpu_eps = _AgentLane("hamt", device="cpu").eval_eps(3)
-        except Exception as e:  # noqa: BLE001
-            print(f"# jax-cpu measurement failed: {e!r}", file=sys.stderr)
+        if left() > 90:
+            try:
+                jax_cpu_eps = _AgentLane("hamt", device="cpu").eval_eps(
+                    2, fixed_horizon=True)
+                mark("jax-cpu anchor done")
+            except Exception as e:  # noqa: BLE001
+                print(f"# jax-cpu measurement failed: {e!r}", file=sys.stderr)
 
     # 3. extras, best effort under the remaining budget (compiles are
     # persistent-cached in /tmp/vln_jax_cache, so repeat runs always finish)
     try:
-        if left() > 0:
+        if left() > 60:
             chip["hamt_train_step_ms"] = hamt.train_ms()
-        if left() > 0:
+            mark("hamt train done")
+        if left() > 60:
+            # free the HAMT lane's device buffers before the DUET lane:
+            # both resident at once can exhaust chip HBM for the DUET
+            # train step at reference scale
+            import gc
+
+            del hamt
+            gc.collect()
             duet = _AgentLane("duet")
             chip["duet_eval_eps_per_sec"] = duet.eval_eps(20)
-            if left() > 0:
+            mark("duet eval done")
+            if left() > 30:
                 chip["duet_train_step_ms"] = duet.train_ms()
+                mark("duet train done")
     except Exception as e:  # noqa: BLE001
         print(f"# extras measurement failed: {e!r}", file=sys.stderr)
     record = {

@@ -595,7 +595,15 @@ def rollout_duet(
             entropy_sum=ent_acc, og_loss=jnp.asarray(0.0),
             pred_obj=pred_objT, rl_loss=jnp.asarray(0.0))
 
-    carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
+    # Rematerialize each step when the rollout will be differentiated:
+    # a step's full dual-scale forward (pano encoder + global/local
+    # branches over <=Gcap gmap nodes with the 200-token instruction as
+    # cross-attn context) stores far more than one chip's HBM across
+    # T steps x 2 rollouts (dagger), so recompute it in the backward pass
+    # instead (standard TPU FLOPs-for-HBM trade).
+    body = jax.checkpoint(step_fn) if (train_ml is not None or train_rl) \
+        else step_fn
+    carry, ys = jax.lax.scan(body, carry0, jnp.arange(T))
     (stT, gmT, _, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc,
      ent_acc, _) = carry
     pathT = pathT.at[:, -1].set(0)  # trash column: deterministic output
