@@ -466,3 +466,114 @@ def test_one_rollout_step_on_envx_observations(pair):
         want = (nodes0[b] if mine[b] >= K
                 else adj[scans[b], nodes0[b], mine[b]])
         assert int(np.asarray(state1.node)[b]) == int(want)
+
+
+@pytest.mark.slow
+def test_whole_episode_rollout_parity(pair):
+    """WHOLE-EPISODE greedy parity: the product rollout program
+    (rollout_hamt: one lax.scan over the compiled env) against a
+    reference-shaped torch loop (per-step envx observations -> NavCMT
+    'visual' -> argmax -> 'history' append with the fixed hist buffer +
+    mask -> env transition, agent_cmt.py:371-658).  Shared converted
+    weights; per-step action logits within 1e-4 for all T steps, identical
+    greedy actions, identical trajectory and path lengths.  This is where
+    cross-step drift (history accumulation, step-id embeddings, stop
+    bookkeeping) would surface — one-step parity cannot catch it."""
+    from vln_imagine_tpu.envx import env as envx
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+    from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+    ref, params, cfg = pair
+    # skip the align overwrite on both sides: the torch align consumes
+    # sub-instruction span metadata this synthetic world doesn't carry
+    # (the align math itself is pinned by test_align_cosine)
+    cfg = _replace(cfg, "model", use_cosine_aux_loss=False)
+    T, B2 = 6, 2
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=20, max_candidates=6, views=12,
+        feat_dim=768, seed=41)
+    ep_np = synthetic_episodes(
+        world_np, batch=B2, max_gt_path_len=5, max_instr_len=L_TXT,
+        max_imaginations=N_IMAG, vocab_size=1000, feat_dim=HIDDEN, seed=42)
+    world = jax.tree.map(jnp.asarray, world_np)
+    ep = jax.tree.map(jnp.asarray, ep_np)
+    K = world_np.max_candidates
+
+    model = HamtModel(cfg.model, feat_dropout=0.0)
+    res = rollout_hamt(model, None, params, None, world, ep, cfg,
+                       jax.random.PRNGKey(0), feedback="argmax",
+                       train_ml=None, train_rl=False, deterministic=True,
+                       max_steps=T, early_exit=False)
+    logits_seq = np.asarray(res.logits)      # [T, B, T_obs]
+    actions_seq = np.asarray(res.actions)    # [T, B]
+
+    # ---- reference-shaped torch loop over the same compiled env ----------
+    with torch.no_grad():
+        txt_t = ref("language", txt_ids=_t(np.asarray(ep.txt_ids)),
+                    txt_masks=_t(np.asarray(ep.txt_mask)).float())
+        imag_t = ref("imagine",
+                     imagine_pano_img_feats=_t(np.asarray(ep.imagine_feats)))
+        h0_t = ref("history").expand(B2, -1)
+    hist_buf = torch.zeros(B2, T + 1, HIDDEN)
+    hist_buf[:, 0] = h0_t
+    h_len = np.ones(B2, np.int64)
+    st = envx.reset(world, ep, T)
+    nodes_walk = [np.asarray(st.node).copy()]
+    for t in range(T):
+        ended_pre = np.asarray(st.ended).copy()
+        obs = envx.observe_hamt(world, ep, st, cfg.model.angle_feat_size)
+        h_mask = np.arange(T + 1)[None, :] < h_len[:, None]
+        with torch.no_grad():
+            act_ref, _, _, _ = ref(
+                "visual", txt_embeds=txt_t,
+                txt_masks=_t(np.asarray(ep.txt_mask)).float(),
+                hist_embeds=hist_buf, hist_masks=_t(h_mask).float(),
+                ob_img_feats=_t(np.asarray(obs.img)),
+                ob_ang_feats=_t(np.asarray(obs.ang)),
+                ob_nav_types=_t(np.asarray(obs.nav_types)).long(),
+                ob_masks=_t(np.asarray(obs.valid)).float(),
+                imagine_embeds=imag_t,
+                imagine_masks=_t(np.asarray(ep.imagine_mask)).float())
+        valid = (np.asarray(obs.nav_types) != 0) & np.asarray(obs.valid)
+        np.testing.assert_allclose(logits_seq[t][valid],
+                                   act_ref.numpy()[valid], **TOL,
+                                   err_msg=f"step {t} logits")
+        a_t = act_ref.numpy().argmax(-1)
+        np.testing.assert_array_equal(a_t, actions_seq[t],
+                                      err_msg=f"step {t} actions")
+
+        stop_sel = (a_t == np.asarray(obs.stop_slot)) & ~ended_pre
+        is_stop = stop_sel | ended_pre
+        a_env = np.where(is_stop, K, a_t).astype(np.int32)
+
+        # history token for time t (appended before the transition,
+        # frozen once ended — agent_cmt.py:596-609)
+        hist_img, pano_img, pano_ang, prev_ang = envx.history_inputs(
+            world, ep, st, jnp.asarray(np.where(is_stop, -1, a_env)),
+            cfg.model.angle_feat_size)
+        with torch.no_grad():
+            h_tok = ref("history", hist_img_feats=_t(np.asarray(hist_img)),
+                        hist_ang_feats=_t(np.asarray(prev_ang)),
+                        hist_pano_img_feats=_t(np.asarray(pano_img)),
+                        hist_pano_ang_feats=_t(np.asarray(pano_ang)),
+                        ob_step_ids=torch.full((B2,), t, dtype=torch.long))
+        for b in range(B2):
+            if not ended_pre[b]:
+                hist_buf[b, h_len[b]] = h_tok[b]
+                h_len[b] += 1
+
+        st = envx.step_hamt(world, ep, st, jnp.asarray(a_env))
+        nodes_walk.append(np.asarray(st.node).copy())
+
+    # identical trajectories: the torch-driven walk reproduces the product
+    # rollout's recorded path exactly
+    pn, pl = np.asarray(res.path_nodes), np.asarray(res.path_len)
+    walk = np.stack(nodes_walk, 1)           # [B, T+1]
+    for b in range(B2):
+        # recorded path = walk truncated at the stop transition
+        np.testing.assert_array_equal(
+            pn[b, : pl[b]],
+            walk[b, : pl[b]],
+            err_msg=f"item {b} trajectory")
+        # after stopping the walk holds position
+        assert (walk[b, pl[b] - 1 :] == walk[b, pl[b] - 1]).all()
