@@ -119,7 +119,8 @@ def main():
         args.imagine_features = None
         args.sub_instr_file = getattr(args, "sub_instr_file", None)
         args.generated_flag_file = getattr(args, "generated_flag_file", None)
-        tables, train, val_splits, _ = build_real(cfg, args)
+        args.aug = None  # aug alternation is a fine-tune concept
+        tables, train, val_splits, _, _ = build_real(cfg, args)
 
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer

@@ -79,6 +79,12 @@ def parse_args():
                    help=".npy of preprocessed images (RawImaginationImageBank)")
     p.add_argument("--imagine-image-index",
                    help="json {instr_id: [lo, hi]} row ranges into the bank")
+    p.add_argument("--aug", default=None,
+                   help="augmented annotations (split name or direct json "
+                        "path): training alternates one GT iteration with "
+                        "one aug iteration (main.py:281-302); with "
+                        "--synthetic any value enables a no-imagination "
+                        "aug copy of the train split")
     p.add_argument("--splits", nargs="+",
                    default=["train", "val_seen", "val_unseen"])
     p.add_argument("--resume")
@@ -146,8 +152,16 @@ def build_real(cfg, args):
 
     all_items = {s: construct_instrs(args.anno_dir, args.dataset, [s])
                  for s in args.splits}
+    # augmented instructions (main.py:98-101): a split name or a direct
+    # path to an aug json; aug_flag keeps every instruction per path
+    aug_items = None
+    if getattr(args, "aug", None):
+        aug_items = construct_instrs(args.anno_dir, args.dataset,
+                                     [args.aug], aug_flag=True)
     scans = sorted({it["scan"] for items in all_items.values()
-                    for it in items})
+                    for it in items}
+                   | ({it["scan"] for it in aug_items} if aug_items
+                      else set()))
     graphs = load_connectivity(args.connectivity_dir, scans)
 
     feat_db = ImageFeaturesDB(args.img_features, cfg.model.image_feat_size)
@@ -227,7 +241,18 @@ def build_real(cfg, args):
 
     train = make_split(args.splits[0])
     vals = [make_split(s) for s in args.splits[1:]]
-    return tables, train, vals, graphs
+    aug = None
+    if aug_items:
+        # aug data carries no imagination annotations: episodes get an
+        # all-False imagine_mask, zeroing the modality through the additive
+        # attention masks (the reference flips imagine_enc_pano instead,
+        # main.py:289-300)
+        ep, ids = episodes_from_annotations(
+            aug_items, graphs, AuxMetadata(), cfg.env.max_instr_len,
+            cfg.env.max_gt_path_len, cfg.model.max_imagination_len,
+            obj_id_fn=obj_id_fn, imagine_feat_dim=cfg.model.hidden_size)
+        aug = SplitData("aug", ep, ids)
+    return tables, train, vals, graphs, aug
 
 
 def main():
@@ -281,15 +306,29 @@ def main():
     graphs = None
     if args.synthetic:
         tables, train, vals = build_synthetic(cfg)
+        aug = None
+        if args.aug:
+            # synthetic smoke path: the train episodes with the imagination
+            # modality masked off (aug data has no imaginations)
+            import dataclasses as _dc
+
+            import numpy as _np
+
+            from vln_imagine_tpu.driver import SplitData
+            aug = SplitData("aug", _dc.replace(
+                train.episodes,
+                imagine_mask=_np.zeros_like(
+                    _np.asarray(train.episodes.imagine_mask))),
+                train.instr_ids)
     else:
-        tables, train, vals, graphs = build_real(cfg, args)
+        tables, train, vals, graphs, aug = build_real(cfg, args)
 
     if args.mesh_data:
         cfg = _replace(cfg, "mesh", data_parallelism=args.mesh_data,
                        model_parallelism=args.mesh_model)
 
     driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir,
-                            graphs=graphs)
+                            graphs=graphs, aug_split=aug)
     driver.setup()
     if args.resume:
         driver.load_checkpoint(args.resume)

@@ -113,3 +113,74 @@ def test_failure_recovery_rolls_back(driver, monkeypatch):
     with open(os.path.join(driver.log_dir, "train.txt")) as f:
         log = f.read()
     assert "injected fault" in log
+
+
+@pytest.mark.slow
+def test_aug_alternation_trains(driver):
+    """--aug semantics (main.py:281-302): odd iterations of an interval draw
+    batches from the aug split, whose episodes carry no imaginations; the
+    fused train step handles both through the imagination masks without a
+    second compile."""
+    import dataclasses as dc
+
+    from vln_imagine_tpu.data.annotations import RoundRobinSampler
+
+    ep = driver.train_split.episodes
+    aug_ep = dc.replace(
+        ep, imagine_mask=np.zeros_like(np.asarray(ep.imagine_mask)))
+    driver.aug_split = SplitData("aug", aug_ep, driver.train_split.instr_ids)
+    driver.aug_sampler = RoundRobinSampler(
+        np.asarray(aug_ep.scan).shape[0], driver.cfg.train.batch_size, 99)
+    try:
+        logs = driver.train_interval(2)   # iter 0 GT, iter 1 aug
+        assert all(np.isfinite(v) for v in logs.values()), logs
+    finally:
+        driver.aug_split = None
+        driver.aug_sampler = None
+
+
+def test_masked_imagination_equals_disabled_modality():
+    """An all-False imagine_mask equals imagine_enc_pano=False exactly: the
+    additive -10000 mask underflows to zero attention weight in f32, so the
+    masked modality contributes nothing (what lets one compiled step serve
+    the reference's per-iteration imagine_enc_pano flip, main.py:289-300)."""
+    import dataclasses as dc
+
+    from vln_imagine_tpu.config import _replace
+    from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+    from vln_imagine_tpu.train.trainer import HamtTrainer
+
+    cfg = tiny_test_config("hamt")
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=14, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=5)
+    world = jax.tree.map(jnp.asarray, world_np)
+    ep = jax.tree.map(jnp.asarray, synthetic_episodes(
+        world_np, batch=3, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=6))
+    ep_masked = dc.replace(ep,
+                           imagine_mask=jnp.zeros_like(ep.imagine_mask))
+
+    trainer = HamtTrainer(cfg, world)
+    state = trainer.init_state(ep)
+    rng = jax.random.PRNGKey(7)
+    res_masked = rollout_hamt(
+        trainer.model, trainer.critic, state.params, None, world, ep_masked,
+        cfg, rng, feedback="teacher", train_ml=1.0, deterministic=True)
+    cfg_off = _replace(cfg, "model", imagine_enc_pano=False,
+                       use_cosine_aux_loss=False)
+    from vln_imagine_tpu.models.hamt import HamtModel
+    model_off = HamtModel(cfg_off.model,
+                          feat_dropout=cfg_off.train.feat_dropout)
+    res_off = rollout_hamt(
+        model_off, trainer.critic, state.params, None, world, ep, cfg_off,
+        rng, feedback="teacher", train_ml=1.0, deterministic=True)
+    assert float(res_masked.aux_loss) == 0.0
+    np.testing.assert_allclose(np.asarray(res_masked.logits),
+                               np.asarray(res_off.logits),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(res_masked.path_nodes),
+                                  np.asarray(res_off.path_nodes))

@@ -51,7 +51,8 @@ def _take(ep: EpisodeBatch, idxs: np.ndarray) -> EpisodeBatch:
 class FinetuneDriver:
     def __init__(self, cfg: Config, tables: WorldTables,
                  train_split: SplitData, val_splits: list[SplitData],
-                 log_dir: str, rng=None, graphs=None, mesh=None):
+                 log_dir: str, rng=None, graphs=None, mesh=None,
+                 aug_split: SplitData | None = None):
         self.cfg = cfg
         self.tables = tables
         # host ScanGraphs (scan index -> graph): needed only to emit
@@ -95,6 +96,16 @@ class FinetuneDriver:
         self.sampler = RoundRobinSampler(
             train_split.episodes.scan.shape[0], cfg.train.batch_size,
             cfg.train.seed)
+        # augmented-data split (main.py:98-108,281-302): training alternates
+        # one GT iteration with one augmented iteration.  Aug episodes carry
+        # no imaginations (imagine_mask all False) — with every imagination
+        # token masked the additive -10000 attention masks zero its
+        # contribution, matching the reference's imagine_enc_pano=False flip
+        # without a second compiled train step.
+        self.aug_split = aug_split
+        self.aug_sampler = (RoundRobinSampler(
+            aug_split.episodes.scan.shape[0], cfg.train.batch_size,
+            cfg.train.seed + 1) if aug_split is not None else None)
         self.state = None
         self._train_step: Callable | None = None
         self._eval_step: Callable | None = None
@@ -150,11 +161,16 @@ class FinetuneDriver:
     # ----------------------------------------------------------------- train
     def train_interval(self, n_iters: int) -> dict:
         logs: dict[str, list] = {}
-        for _ in range(n_iters):
-            i1 = self.sampler.next_batch()
-            i2 = self.sampler.next_batch()
-            ep1 = self._place_batch(_take(self.train_split.episodes, i1))
-            ep2 = self._place_batch(_take(self.train_split.episodes, i2))
+        for it in range(n_iters):
+            # with an aug split: odd iterations draw augmented batches
+            # (main.py:285-302's 1 GT / 1 aug alternation)
+            use_aug = self.aug_split is not None and it % 2 == 1
+            sampler = self.aug_sampler if use_aug else self.sampler
+            split = self.aug_split if use_aug else self.train_split
+            i1 = sampler.next_batch()
+            i2 = sampler.next_batch()
+            ep1 = self._place_batch(_take(split.episodes, i1))
+            ep2 = self._place_batch(_take(split.episodes, i2))
             rng, self._rng = jax.random.split(self._rng)
             self.state, metrics = self._train_step(self.state, ep1, ep2, rng)
             # keep metrics on-device during the interval: converting per step
