@@ -51,6 +51,12 @@ def parse_args():
                    help="DUET dagger exploration sampling (agent.py:555-565)")
     p.add_argument("--expl-max-ratio", type=float, default=None)
     p.add_argument("--ml-weight", type=float, default=None)
+    p.add_argument("--ob-type", choices=["pano", "cand"], default=None,
+                   help="HAMT observation tokens: candidates+stop+views "
+                        "(pano, released) or candidates+stop only (cand)")
+    p.add_argument("--no-cand-backtrack", action="store_true",
+                   help="mask candidates leading to visited nodes "
+                        "(agent_cmt.py:549-558)")
     p.add_argument("--no-cosine-aux-loss", action="store_true")
     p.add_argument("--no-imagination", action="store_true",
                    help="disable the imagination modality entirely")
@@ -279,6 +285,10 @@ def main():
     overrides["seed"] = args.seed
     if args.expl_sample:
         overrides["expl_sample"] = True
+    if args.no_cand_backtrack:
+        overrides["no_cand_backtrack"] = True
+    if args.ob_type is not None:
+        cfg = _replace(cfg, "env", ob_type=args.ob_type)
     # the reference maps train_alg='sample' to the HAMT IL+RL feedback
     # (agent_cmt.py:799); imitation/dagger are the DUET algorithms
     cfg = _replace(cfg, "train", **overrides)

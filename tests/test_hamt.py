@@ -99,3 +99,51 @@ def test_rollout_deterministic_eval(setup):
     # argmax eval ignores the rng: trajectories identical
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_no_cand_backtrack_paths_never_revisit(setup):
+    """--no_cand_backtrack (agent_cmt.py:549-558): candidates leading to
+    already-visited nodes are -inf-masked, so a greedy path can never
+    revisit a node (it stops instead once everything nearby is visited)."""
+    from vln_imagine_tpu.config import _replace
+    from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+    cfg, _, world, ep, trainer, state = setup
+    cfg_bt = _replace(cfg, "train", no_cand_backtrack=True)
+    res = rollout_hamt(trainer.model, trainer.critic, state.params, None,
+                       world, ep, cfg_bt, jax.random.PRNGKey(11),
+                       feedback="argmax", train_ml=None, train_rl=False,
+                       deterministic=True)
+    pn, pl = np.asarray(res.path_nodes), np.asarray(res.path_len)
+    for b in range(pn.shape[0]):
+        walk = pn[b, : pl[b]]
+        assert len(set(walk.tolist())) == len(walk), walk
+
+
+def test_ob_type_cand_masks_view_tokens(setup):
+    """--ob_type cand (agent_cmt.py:502): only candidates + [STOP] stay in
+    the observation stream; the rollout still runs and the chosen actions
+    stay within the candidate set."""
+    from vln_imagine_tpu.config import _replace
+    from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+    cfg, world_np, world, ep, trainer, state = setup
+    cfg_c = _replace(cfg, "env", ob_type="cand")
+    res = rollout_hamt(trainer.model, trainer.critic, state.params, None,
+                       world, ep, cfg_c, jax.random.PRNGKey(12),
+                       feedback="argmax", train_ml=None, train_rl=False,
+                       deterministic=True)
+    pn, pl = np.asarray(res.path_nodes), np.asarray(res.path_len)
+    adj = np.asarray(world_np.adj)
+    adj_valid = np.asarray(world_np.adj_valid)
+    scan = np.asarray(ep.scan)
+    for b in range(pn.shape[0]):
+        for a, c in zip(pn[b, : pl[b] - 1], pn[b, 1: pl[b]]):
+            assert c in adj[scan[b], a][adj_valid[scan[b], a]], (b, a, c)
+    # and the logits differ from the pano observation set (views removed
+    # from attention changes the encoding)
+    res_p = rollout_hamt(trainer.model, trainer.critic, state.params, None,
+                         world, ep, cfg, jax.random.PRNGKey(12),
+                         feedback="argmax", train_ml=None, train_rl=False,
+                         deterministic=True)
+    assert not np.allclose(np.asarray(res.logits), np.asarray(res_p.logits))

@@ -124,6 +124,10 @@ class EnvConfig:
     max_gt_path_len: int = 8  # R2R ground-truth paths are 4-7 nodes
     max_gmap_nodes: int = 96  # DUET topo-map node buffer (worst case ~1+T*K)
     error_margin: float = 3.0  # success threshold in metres (env.py:28)
+    # HAMT observation token set (parser.py --ob_type, agent_cmt.py:499-503):
+    # 'pano' = candidates + [STOP] + remaining pano views (released configs);
+    # 'cand' = candidates + [STOP] only (views masked out of the obs stream)
+    ob_type: str = "pano"
 
 
 @dataclass(frozen=True)
@@ -136,6 +140,9 @@ class TrainConfig:
     log_every: int = 2000
     max_grad_norm: float = 40.0
     feat_dropout: float = 0.4
+    # mask action logits of candidates whose node was already visited
+    # (parser.py --no_cand_backtrack, agent_cmt.py:549-558)
+    no_cand_backtrack: bool = False
     ml_weight: float = 0.2
     teacher_weight: float = 1.0
     gamma: float = 0.9  # A2C discount (HAMT; DUET released config uses 0)

@@ -167,6 +167,10 @@ def rollout_hamt(
 
     def visual_forward(st: EnvState, h_buf, h_len, rkey):
         obs = envx.observe_hamt(tables, ep, st, mcfg.angle_feat_size)
+        if ecfg.ob_type == "cand":
+            # candidates + [STOP] only: the unclaimed pano views drop out of
+            # the observation stream (agent_cmt.py:502 _candidate_variable)
+            obs = obs._replace(valid=obs.valid & (obs.nav_types != 0))
         obj_kw = {}
         if use_obj:
             obj_kw = dict(obj_img_feats=obs.obj_img,
@@ -184,6 +188,24 @@ def rollout_hamt(
         key, k_vis, k_act, k_hist = jax.random.split(key, 4)
 
         obs, out = visual_forward(st, h_buf, h_len, k_vis)
+        if tcfg.no_cand_backtrack:
+            # mask candidates leading to already-visited nodes (incl. the
+            # current one), agent_cmt.py:549-558; LOGIT_NEG_INF instead of
+            # the reference's -inf keeps sampling entropy finite (softmax
+            # still gives exactly-zero probability in f32); the [STOP] slot
+            # stays available
+            cand_nodes = tables.adj[ep.scan[:, None],
+                                    st.node[:, None],
+                                    jnp.arange(K)[None, :]]       # [B, K]
+            pos_ok = (jnp.arange(st.path_nodes.shape[1])[None, :]
+                      < st.path_len[:, None])                     # [B, P]
+            bt = jnp.any((st.path_nodes[:, None, :] == cand_nodes[:, :, None])
+                         & pos_ok[:, None, :], axis=-1)           # [B, K]
+            T_obs = out.act_logits.shape[1]
+            bt_full = jnp.pad(bt, ((0, 0), (0, T_obs - K)))
+            out = out._replace(
+                act_logits=jnp.where(bt_full, LOGIT_NEG_INF,
+                                     out.act_logits))
         # CVDN/NDH supervises with the shortest path to the sampled goal
         # (cvdn env stores endpoints only); others follow the annotated path
         teacher = envx.teacher_hamt(tables, ep, st, t, ignore,
