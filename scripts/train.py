@@ -102,6 +102,8 @@ def parse_args():
     # inference mode (the reference's valid()-from-checkpoint entry,
     # main.py:370-421): evaluate every val split and exit
     p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--eval-first", action="store_true",
+                   help="validate before training starts (main.py:167)")
     p.add_argument("--submit", action="store_true",
                    help="write submit_<env>.json + individual metrics during "
                         "validation (needs --connectivity-dir graphs)")
@@ -348,6 +350,12 @@ def main():
             print(f"{split.name}: "
                   + ", ".join(f"{k}={v:.2f}" for k, v in score.items()))
         return
+    if args.eval_first:
+        # validate the initial weights before any training (main.py:167)
+        for split in vals:
+            score = driver.validate(split)
+            print(f"[eval_first] {split.name}: "
+                  + ", ".join(f"{k}={v:.2f}" for k, v in score.items()))
     driver.run(iters=args.iters, log_every=args.log_every)
 
 
