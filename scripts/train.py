@@ -57,6 +57,9 @@ def parse_args():
     p.add_argument("--no-cand-backtrack", action="store_true",
                    help="mask candidates leading to visited nodes "
                         "(agent_cmt.py:549-558)")
+    p.add_argument("--act-visited-nodes", action="store_true",
+                   help="DUET: allow acting on visited graph nodes "
+                        "(agent.py:109)")
     p.add_argument("--no-cosine-aux-loss", action="store_true")
     p.add_argument("--no-imagination", action="store_true",
                    help="disable the imagination modality entirely")
@@ -289,6 +292,8 @@ def main():
         overrides["expl_sample"] = True
     if args.no_cand_backtrack:
         overrides["no_cand_backtrack"] = True
+    if args.act_visited_nodes:
+        overrides["act_visited_nodes"] = True
     if args.ob_type is not None:
         cfg = _replace(cfg, "env", ob_type=args.ob_type)
     # the reference maps train_alg='sample' to the HAMT IL+RL feedback

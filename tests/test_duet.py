@@ -162,3 +162,34 @@ def test_expl_sample_rollout(setup):
     # every recorded action is the stop slot or a valid gmap slot
     acts = np.asarray(res.actions)
     assert (acts >= 0).all() and (acts <= cfg.env.max_gmap_nodes).all()
+
+
+def test_act_visited_nodes_rollout(setup):
+    """--act_visited_nodes (agent.py:109-113): only the current node counts
+    as visited, so previously-visited graph nodes stay in the action set;
+    paths remain graph-teleport walks and the visited-mask change reaches
+    the model (different logits from the default)."""
+    from vln_imagine_tpu.config import _replace
+
+    cfg, world_np, world, ep, trainer, state = setup
+    cfg_av = _replace(cfg, "train", act_visited_nodes=True)
+    rng = jax.random.PRNGKey(21)
+    res = rollout_duet(trainer.model, state.params, world, ep, cfg_av, rng,
+                       feedback="argmax", train_ml=None, deterministic=True)
+    # teacher forcing walks the multi-node gt path, so the true visited set
+    # grows past {current} and the two maskings must diverge
+    res_t = rollout_duet(trainer.model, state.params, world, ep, cfg_av, rng,
+                         feedback="teacher", train_ml=1.0,
+                         deterministic=True)
+    res_t0 = rollout_duet(trainer.model, state.params, world, ep, cfg, rng,
+                          feedback="teacher", train_ml=1.0,
+                          deterministic=True)
+    pn, pl = np.asarray(res.path_nodes), np.asarray(res.path_len)
+    adj = np.asarray(world_np.adj)
+    adj_valid = np.asarray(world_np.adj_valid)
+    scan = np.asarray(ep.scan)
+    for b in range(pn.shape[0]):
+        for a, c in zip(pn[b, : pl[b] - 1], pn[b, 1: pl[b]]):
+            assert c in adj[scan[b], a][adj_valid[scan[b], a]], (b, a, c)
+    assert not np.array_equal(np.asarray(res_t.logits),
+                              np.asarray(res_t0.logits))

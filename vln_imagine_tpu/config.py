@@ -143,6 +143,9 @@ class TrainConfig:
     # mask action logits of candidates whose node was already visited
     # (parser.py --no_cand_backtrack, agent_cmt.py:549-558)
     no_cand_backtrack: bool = False
+    # DUET: only the current node counts as visited for the action mask —
+    # revisiting graph nodes is allowed (--act_visited_nodes, agent.py:109)
+    act_visited_nodes: bool = False
     ml_weight: float = 0.2
     teacher_weight: float = 1.0
     gamma: float = 0.9  # A2C discount (HAMT; DUET released config uses 0)

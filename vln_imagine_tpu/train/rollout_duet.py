@@ -195,10 +195,19 @@ def rollout_duet(
         gmap_step_ids = jnp.concatenate(
             [jnp.zeros((B, 1), jnp.int32), gsteps_s], axis=1)
         gmap_valid = jnp.concatenate([jnp.ones((B, 1), bool), gvalid_s], 1)
-        gmap_visited = jnp.concatenate([jnp.zeros((B, 1), bool),
-                                        gvisited_s & gvalid_s], 1)
-
         cur_slot = jnp.take_along_axis(gm.slot_of, st.node[:, None], 1)[:, 0]
+        if tcfg.act_visited_nodes:
+            # --act_visited_nodes (agent.py:109-113): only the CURRENT node
+            # counts as visited for the model's mask / valid action set —
+            # every other graph node stays actionable (the teacher below
+            # still uses the true visited set, like the reference)
+            act_visited_s = (jnp.arange(Gcap)[None, :]
+                             == cur_slot[:, None]) & gvalid_s
+        else:
+            act_visited_s = gvisited_s & gvalid_s
+        gmap_visited = jnp.concatenate([jnp.zeros((B, 1), bool),
+                                        act_visited_s], 1)
+
         cur_heading = view_heading(st.view_index, tables.views)
         cur_elev = view_elevation(st.view_index, tables.views)
         obs_dist = gm.dist[b_idx[:, None], cur_slot[:, None],
