@@ -109,7 +109,7 @@ def main():
     from train import build_real, build_synthetic  # sibling scripts/train.py
     val_splits = []
     if args.synthetic:
-        tables, train, vals = build_synthetic(cfg)
+        tables, train, vals, _ = build_synthetic(cfg)
         if args.val_splits is not None:
             val_splits = [v for v in vals if v.name in args.val_splits]
     else:

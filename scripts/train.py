@@ -60,6 +60,9 @@ def parse_args():
     p.add_argument("--act-visited-nodes", action="store_true",
                    help="DUET: allow acting on visited graph nodes "
                         "(agent.py:109)")
+    p.add_argument("--detailed-output", action="store_true",
+                   help="DUET: write per-node stop logits into the "
+                        "submission 'details' field (main_nav.py:384)")
     p.add_argument("--no-cosine-aux-loss", action="store_true")
     p.add_argument("--no-imagination", action="store_true",
                    help="disable the imagination modality entirely")
@@ -120,7 +123,7 @@ def build_synthetic(cfg):
     from vln_imagine_tpu.driver import SplitData
     from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
 
-    world_np, _ = synthetic_world(
+    world_np, graphs = synthetic_world(
         num_scans=4, num_nodes=48, max_candidates=cfg.env.max_candidates,
         views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
     tables = jax.tree.map(jnp.asarray, world_np)
@@ -138,7 +141,7 @@ def build_synthetic(cfg):
         return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
 
     return tables, split("train", 64, 1), [split("val_seen", 16, 2),
-                                           split("val_unseen", 16, 3)]
+                                           split("val_unseen", 16, 3)], graphs
 
 
 def build_real(cfg, args):
@@ -294,6 +297,8 @@ def main():
         overrides["no_cand_backtrack"] = True
     if args.act_visited_nodes:
         overrides["act_visited_nodes"] = True
+    if args.detailed_output:
+        overrides["detailed_output"] = True
     if args.ob_type is not None:
         cfg = _replace(cfg, "env", ob_type=args.ob_type)
     # the reference maps train_alg='sample' to the HAMT IL+RL feedback
@@ -320,9 +325,8 @@ def main():
     if model_over:
         cfg = _replace(cfg, "model", **model_over)
 
-    graphs = None
     if args.synthetic:
-        tables, train, vals = build_synthetic(cfg)
+        tables, train, vals, graphs = build_synthetic(cfg)
         aug = None
         if args.aug:
             # synthetic smoke path: the train episodes with the imagination

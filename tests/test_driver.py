@@ -184,3 +184,46 @@ def test_masked_imagination_equals_disabled_modality():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(res_masked.path_nodes),
                                   np.asarray(res_off.path_nodes))
+
+
+@pytest.mark.slow
+def test_duet_detailed_output_submission(tmp_path):
+    """--detailed_output (agent.py:597-601, main_nav.py:384): validation
+    writes detail_<env>.json whose entries carry per-visited-node
+    {'stop_prob': float} details keyed by real viewpoint ids."""
+    import json
+
+    from vln_imagine_tpu.config import _replace
+
+    cfg = _replace(tiny_test_config("duet"), "train", detailed_output=True)
+    world_np, graphs = synthetic_world(
+        num_scans=2, num_nodes=18, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=3)
+    tables = jax.tree.map(jnp.asarray, world_np)
+
+    def split(name, n, seed):
+        ep = synthetic_episodes(
+            world_np, batch=n, max_gt_path_len=cfg.env.max_gt_path_len,
+            max_instr_len=cfg.env.max_instr_len,
+            max_imaginations=cfg.model.max_imagination_len,
+            vocab_size=cfg.model.vocab_size,
+            feat_dim=cfg.model.hidden_size, seed=seed)
+        return SplitData(name, ep, [f"{name}_{i}" for i in range(n)])
+
+    val = split("val_unseen", 6, 4)
+    d = FinetuneDriver(cfg, tables, split("train", 8, 5), [val],
+                       str(tmp_path), graphs=graphs)
+    d.setup()
+    d.state = d.trainer.init_state(
+        jax.tree.map(jnp.asarray, val.episodes))
+    d.validate(val, write_outputs=True)
+    out = os.path.join(str(tmp_path), "detail_val_unseen.json")
+    assert os.path.exists(out)
+    preds = json.load(open(out))
+    assert len(preds) == 6
+    all_vps = {vp for g in graphs for vp in g.node_ids}
+    for p in preds:
+        assert p["details"], p["instr_id"]  # at least the start node
+        for vp, dd in p["details"].items():
+            assert vp in all_vps
+            assert np.isfinite(dd["stop_prob"])

@@ -146,6 +146,9 @@ class TrainConfig:
     # DUET: only the current node counts as visited for the action mask —
     # revisiting graph nodes is allowed (--act_visited_nodes, agent.py:109)
     act_visited_nodes: bool = False
+    # DUET: submissions carry per-node stop logits as 'details' and are
+    # written as detail_<env>.json (--detailed_output, main_nav.py:384)
+    detailed_output: bool = False
     ml_weight: float = 0.2
     teacher_weight: float = 1.0
     gamma: float = 0.9  # A2C discount (HAMT; DUET released config uses 0)

@@ -133,7 +133,13 @@ class FinetuneDriver:
             self._train_step = self.trainer.make_train_step(self._feedback)
         else:
             self._train_step = self.trainer.make_train_step()
-        self._eval_step = self.trainer.make_eval_step()
+        # DUET --detailed_output: the eval step also returns the final
+        # per-gmap-node stop table for the 'details' submission field
+        self._eval_detailed = (self.cfg.agent == "duet"
+                               and self.cfg.train.detailed_output)
+        self._eval_step = (self.trainer.make_eval_step(detailed=True)
+                           if self._eval_detailed
+                           else self.trainer.make_eval_step())
 
     def _place_batch(self, ep: EpisodeBatch) -> EpisodeBatch:
         if self.mesh is None:
@@ -188,10 +194,15 @@ class FinetuneDriver:
         n = split.episodes.scan.shape[0]
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
         extra = []  # pred_obj (reverie/soon) or declared midstop (r2r_back)
+        details = []  # per-item {node: stop_score} (--detailed_output)
         for idxs, fresh in EvalSampler(n, bs):
             ep = self._place_batch(_take(split.episodes, idxs))
             rng, self._rng = jax.random.split(self._rng)
             out = self._eval_step(self.state.params, ep, rng)
+            det = None
+            if self._eval_detailed:
+                det = tuple(np.asarray(x) for x in out[-1])
+                out = out[:-1]
             pn, pl = np.asarray(out[0]), np.asarray(out[1])
             po = (np.asarray(out[2])
                   if len(out) > 2 and out[2] is not None else None)
@@ -208,6 +219,10 @@ class FinetuneDriver:
                 kept_idx.append(b)
                 if po is not None:
                     extra.append(int(po[j]))
+                if det is not None:
+                    nodes, scores, valid = det
+                    details.append({int(n): float(s) for n, s, v in
+                                    zip(nodes[j], scores[j], valid[j]) if v})
         if extra and split.episodes.gt_obj_id is not None:
             # REVERIE/SOON: object-navigation scoring (success = stop at any
             # viewpoint the gt object is visible from; RGS/RGSPL grounding)
@@ -246,9 +261,12 @@ class FinetuneDriver:
                              f"individual_metrics_{split.name}.json"), per)
             if self.graphs is not None:
                 headings = np.asarray(split.episodes.start_heading)[kept_idx]
+                prefix = "detail" if details else "submit"  # main_nav.py:384
                 write_submission(
-                    os.path.join(self.log_dir, f"submit_{split.name}.json"),
-                    self.graphs, np.asarray(scans), paths, kept_ids, headings)
+                    os.path.join(self.log_dir,
+                                 f"{prefix}_{split.name}.json"),
+                    self.graphs, np.asarray(scans), paths, kept_ids, headings,
+                    details=details or None)
         return avg
 
     def _eval_object_split(self, split, scans, paths, gts, kept_ids,

@@ -35,7 +35,11 @@ def trajectory_with_poses(graph: ScanGraph, node_path: list[int],
 
 def write_submission(path: str, graphs: list[ScanGraph],
                      scans: np.ndarray, node_paths: list[list[int]],
-                     instr_ids: list, start_headings: np.ndarray):
+                     instr_ids: list, start_headings: np.ndarray,
+                     details: list[dict] | None = None):
+    """details (--detailed_output, agent.py:597-601 / agent_base.py:27-33):
+    per item a {node_index: stop_logit} map, emitted per viewpoint id as
+    {'stop_prob': float}."""
     preds = []
     for i, p in enumerate(node_paths):
         g = graphs[int(scans[i])]
@@ -44,6 +48,10 @@ def write_submission(path: str, graphs: list[ScanGraph],
             "trajectory": trajectory_with_poses(g, list(p),
                                                 float(start_headings[i])),
         })
+        if details is not None:
+            preds[-1]["details"] = {
+                g.node_ids[n]: {"stop_prob": s}
+                for n, s in details[i].items()}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(preds, f)

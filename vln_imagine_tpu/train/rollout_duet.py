@@ -45,6 +45,10 @@ class DuetRolloutResult(NamedTuple):
     og_loss: jnp.ndarray = None   # scalar object-grounding CE (REVERIE/SOON)
     pred_obj: jnp.ndarray = None  # [B] predicted object id at the stop node
     rl_loss: jnp.ndarray = None   # scalar A2C loss (train_alg='rl' only)
+    # final per-gmap-slot stop data (--detailed_output, agent.py:597-601)
+    stop_nodes: jnp.ndarray = None   # [B, Gcap] node id per slot (-1 empty)
+    stop_scores: jnp.ndarray = None  # [B, Gcap] stop logit per slot
+    stop_valid: jnp.ndarray = None   # [B, Gcap] slot valid & visited
 
 
 def path_buffer_len(cfg: Config) -> int:
@@ -602,7 +606,10 @@ def rollout_duet(
             loss=loss, ml_loss=jnp.asarray(0.0), aux_loss=aux_loss,
             path_nodes=pathT, path_len=plenT, logits=None, actions=None,
             entropy_sum=ent_acc, og_loss=jnp.asarray(0.0),
-            pred_obj=pred_objT, rl_loss=jnp.asarray(0.0))
+            pred_obj=pred_objT, rl_loss=jnp.asarray(0.0),
+            stop_nodes=gmT.node_ids[:, :Gcap],
+            stop_scores=gmT.stop_scores[:, :Gcap],
+            stop_valid=(gmT.valid() & gmT.visited)[:, :Gcap])
 
     # Rematerialize each step when the rollout will be differentiated:
     # a step's full dual-scale forward (pano encoder + global/local
@@ -671,7 +678,9 @@ def rollout_duet(
         loss=loss, ml_loss=ml_loss, aux_loss=aux_loss,
         path_nodes=pathT, path_len=plenT, logits=logits_seq, actions=actions,
         entropy_sum=ent_acc, og_loss=og_loss, pred_obj=pred_objT,
-        rl_loss=rl_loss)
+        rl_loss=rl_loss, stop_nodes=gmT.node_ids[:, :Gcap],
+        stop_scores=gmT.stop_scores[:, :Gcap],
+        stop_valid=(gmT.valid() & gmT.visited)[:, :Gcap])
 
 
 def _edge_weights(tables, ep, src_node, dst_nodes):

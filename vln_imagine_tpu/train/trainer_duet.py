@@ -184,7 +184,10 @@ class DuetTrainer:
 
         return train_step
 
-    def make_eval_step(self):
+    def make_eval_step(self, detailed: bool = False):
+        """detailed: also return the final per-gmap-node stop table
+        (--detailed_output, agent.py:597-601) as one trailing
+        (nodes, scores, valid) element."""
         cfg, model, tables = self.cfg, self.model, self.tables
         use_obj = (cfg.model.obj_feat_size > 0
                    and tables.obj_feat is not None)
@@ -194,10 +197,14 @@ class DuetTrainer:
             res = rollout_duet(model, params, tables, ep, cfg, rng,
                                feedback="argmax", train_ml=None,
                                deterministic=True, early_exit=True)
+            out = (res.path_nodes, res.path_len)
             if use_obj:
                 # REVERIE/SOON: the grounded object id per item (for RGS)
-                return res.path_nodes, res.path_len, res.pred_obj
-            return res.path_nodes, res.path_len
+                out = out + (res.pred_obj,)
+            if detailed:
+                out = out + ((res.stop_nodes, res.stop_scores,
+                              res.stop_valid),)
+            return out
 
         return eval_step
 
