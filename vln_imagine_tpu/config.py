@@ -282,11 +282,15 @@ def reverie_config(agent: str = "duet") -> Config:
     if agent == "duet":
         cfg = duet_r2r_config().replace(dataset="reverie")
         cfg = _replace(cfg, "model", obj_feat_size=768, max_imagination_len=1)
+        # run_reverie.sh: --max_instr_len 200; run_soon.sh uses 100 and
+        # --max_objects 100 (override per dataset from the CLI)
+        cfg = _replace(cfg, "env", max_instr_len=200)
     else:
         cfg = hamt_r2r_config().replace(dataset="reverie")
         cfg = _replace(cfg, "model", obj_feat_size=768,
                        imagine_enc_pano=False, use_cosine_aux_loss=False)
-    cfg = _replace(cfg, "env", max_instr_len=80)
+        # finetune_src/scripts/run_reverie.sh: --max_instr_len 60
+        cfg = _replace(cfg, "env", max_instr_len=60)
     return cfg
 
 
