@@ -329,13 +329,80 @@ def _emit_partial(signum=None, frame=None):
     os._exit(0 if _partial.get("value") is not None else 1)
 
 
-def main():
+def _enable_cache():
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/vln_jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     except Exception:
         pass
 
+
+def _force_cpu():
+    """CPU-only lanes must never touch the (possibly stalled) TPU backend.
+    The axon site config overrides JAX_PLATFORMS, so go through jax.config."""
+    jax.config.update("jax_platforms", "cpu")
+
+
+def _lane_main(lane: str):
+    """One measurement in a fresh process.  Interleaving different compiled
+    programs over the TPU tunnel poisons the next program's steady state
+    4-15x (program reload), so every lane beyond the headline runs alone in
+    its own process and reports one JSON line on stdout."""
+    _enable_cache()
+    seconds = float(os.environ.get("VLN_LANE_SECONDS", "60"))
+    if lane == "probe":
+        # liveness: one tiny transfer + op; no compile-heavy work
+        x = jax.device_put(jnp.arange(8.0))
+        jax.block_until_ready(x + 1.0)
+        out = {"lane": lane, "ok": True,
+               "platform": jax.devices()[0].platform}
+    elif lane == "torch_cpu":
+        _force_cpu()
+        out = {"lane": lane,
+               "value": measure_reference_torch_cpu(max_seconds=seconds)}
+    elif lane == "jax_cpu":
+        _force_cpu()
+        out = {"lane": lane,
+               "value": _AgentLane("hamt", device="cpu").eval_eps(
+                   2, fixed_horizon=True)}
+    elif lane == "hamt_fixed":
+        out = {"lane": lane,
+               "value": _AgentLane("hamt").eval_eps(10, fixed_horizon=True)}
+    elif lane == "hamt_train":
+        out = {"lane": lane, "value": _AgentLane("hamt").train_ms()}
+    elif lane == "duet_eval":
+        out = {"lane": lane, "value": _AgentLane("duet").eval_eps(20)}
+    elif lane == "duet_train":
+        out = {"lane": lane, "value": _AgentLane("duet").train_ms()}
+    else:
+        raise SystemExit(f"unknown lane {lane}")
+    print(json.dumps(out), flush=True)
+
+
+def _run_lane(lane: str, timeout_s: float, seconds: float | None = None):
+    """Run `bench.py --lane <lane>` in a subprocess; returns its 'value'
+    (or the parsed dict for the probe), None on failure/timeout."""
+    import subprocess
+
+    env = dict(os.environ)
+    if seconds is not None:
+        env["VLN_LANE_SECONDS"] = str(seconds)
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--lane", lane],
+            capture_output=True, text=True, timeout=timeout_s, env=env)
+        sys.stderr.write(res.stderr)
+        for line in reversed(res.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                parsed = json.loads(line)
+                return parsed if lane == "probe" else parsed.get("value")
+    except Exception as e:  # noqa: BLE001 - bench must always print
+        print(f"# lane {lane} failed: {e!r}", file=sys.stderr)
+    return None
+
+
+def main():
+    _enable_cache()
     t_start = time.perf_counter()
     budget_s = float(os.environ.get("VLN_BENCH_BUDGET_S", "520"))
     try:
@@ -354,68 +421,81 @@ def main():
         print(f"# bench +{time.perf_counter() - t_start:.0f}s: {stage}",
               file=sys.stderr)
 
-    # 1. the headline metric (always): the product eval path (early-exit
-    # while_loop), plus a fixed-horizon run of the same program for the
-    # like-for-like vs_baseline ratio (early exit depends on where the
-    # random-weight policy happens to stop; fixed horizon is stable work)
+    # 0. fail-fast pre-flight: a stalled TPU tunnel must cost ~90 s, not the
+    # whole 2x-budget alarm (BENCH_r02 post-mortem).  On failure, still
+    # measure the same-host CPU anchor (torch reference vs our jax path on
+    # this host's CPU) so the artifact carries a real measured ratio.
+    probe = _run_lane("probe", timeout_s=90)
+    if not (probe and probe.get("ok")):
+        mark("device probe FAILED - tunnel unreachable, CPU anchor fallback")
+        torch_eps = _run_lane("torch_cpu", timeout_s=max(left() / 2, 60),
+                              seconds=60)
+        jax_eps = _run_lane("jax_cpu", timeout_s=max(left() - 30, 60))
+        record = {
+            "metric": "hamt_eval_episodes_per_sec_per_chip",
+            "value": None,
+            "unit": "episodes/s",
+            "vs_baseline": None,
+            "note": "TPU tunnel unreachable (90 s device probe timed out); "
+                    "same-host CPU anchor measured instead",
+            "baseline": {
+                "reference_torch_cpu_eps_per_sec": (round(torch_eps, 3)
+                                                    if torch_eps else None),
+                "ours_jax_cpu_eps_per_sec": (round(jax_eps, 3)
+                                             if jax_eps else None),
+                "same_host_vs_baseline": (round(jax_eps / torch_eps, 2)
+                                          if torch_eps and jax_eps else None),
+            },
+        }
+        print(json.dumps(record), flush=True)
+        raise SystemExit(1)
+    mark(f"device probe ok ({probe.get('platform')})")
+
+    # 1. the headline metric, alone in this process: the product eval path
+    # (early-exit while_loop).  Everything else runs in its own subprocess
+    # so tunnel program-interleave cannot depress any steady state.
     hamt = _AgentLane("hamt")
     mark("hamt lane ready")
     value = hamt.eval_eps(20)
-    chip = {"hamt_eval_eps_per_sec": value}
     _partial["value"] = round(value, 2)
     mark("hamt eval done")
+
+    # 2. fixed-horizon run of the same rollout for the like-for-like
+    # vs_baseline ratio (early exit depends on where the random-weight
+    # policy happens to stop; fixed horizon is stable work), then the torch
+    # reference anchor.  Both lanes gate the headline ratio, so they come
+    # before the extras.
     fixed_eps = None
     if left() > 120:
-        try:
-            fixed_eps = hamt.eval_eps(10, fixed_horizon=True)
-            mark("hamt fixed-horizon eval done")
-        except Exception as e:  # noqa: BLE001
-            print(f"# fixed-horizon measurement failed: {e!r}",
-                  file=sys.stderr)
-
-    # 2. measured baseline anchors (the point of this bench; before extras)
+        fixed_eps = _run_lane("hamt_fixed", timeout_s=left() - 60)
+        mark("hamt fixed-horizon eval done")
     torch_cpu_eps = None
     jax_cpu_eps = None
     if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1" and left() > 60:
-        try:
-            torch_cpu_eps = measure_reference_torch_cpu(
-                max_seconds=min(60.0, max(left() - 20.0, 20.0)))
-            if torch_cpu_eps:
-                _partial["vs_baseline"] = round(
-                    (fixed_eps or value) / torch_cpu_eps, 2)
-            mark("torch baseline done")
-        except Exception as e:  # noqa: BLE001 - bench must always print
-            print(f"# baseline measurement failed: {e!r}", file=sys.stderr)
-        if left() > 90:
-            try:
-                jax_cpu_eps = _AgentLane("hamt", device="cpu").eval_eps(
-                    2, fixed_horizon=True)
-                mark("jax-cpu anchor done")
-            except Exception as e:  # noqa: BLE001
-                print(f"# jax-cpu measurement failed: {e!r}", file=sys.stderr)
+        torch_cpu_eps = _run_lane(
+            "torch_cpu", timeout_s=left(),
+            seconds=min(60.0, max(left() - 20.0, 20.0)))
+        if torch_cpu_eps:
+            _partial["vs_baseline"] = round(
+                (fixed_eps or value) / torch_cpu_eps, 2)
+        mark("torch baseline done")
 
-    # 3. extras, best effort under the remaining budget (compiles are
-    # persistent-cached in /tmp/vln_jax_cache, so repeat runs always finish)
-    try:
-        if left() > 60:
-            chip["hamt_train_step_ms"] = hamt.train_ms()
-            mark("hamt train done")
-        if left() > 60:
-            # free the HAMT lane's device buffers before the DUET lane:
-            # both resident at once can exhaust chip HBM for the DUET
-            # train step at reference scale
-            import gc
+    # 3. extras, best effort under the remaining budget, one process each
+    # (compiles are persistent-cached in /tmp/vln_jax_cache, so repeat runs
+    # always finish)
+    chip = {}
+    for lane, key, need in [("hamt_train", "hamt_train_step_ms", 90),
+                            ("duet_eval", "duet_eval_eps_per_sec", 90),
+                            ("duet_train", "duet_train_step_ms", 60)]:
+        if left() > need:
+            got = _run_lane(lane, timeout_s=left())
+            if got is not None:
+                chip[key] = got
+            mark(f"{lane} done")
+    if left() > 60:
+        jax_cpu_eps = _run_lane("jax_cpu", timeout_s=left())
+        mark("jax-cpu anchor done")
 
-            del hamt
-            gc.collect()
-            duet = _AgentLane("duet")
-            chip["duet_eval_eps_per_sec"] = duet.eval_eps(20)
-            mark("duet eval done")
-            if left() > 30:
-                chip["duet_train_step_ms"] = duet.train_ms()
-                mark("duet train done")
-    except Exception as e:  # noqa: BLE001
-        print(f"# extras measurement failed: {e!r}", file=sys.stderr)
     record = {
         "metric": "hamt_eval_episodes_per_sec_per_chip",
         "value": round(value, 2),
@@ -461,4 +541,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--lane":
+        _lane_main(sys.argv[2])
+    else:
+        main()

@@ -100,6 +100,11 @@ def parse_args():
     p.add_argument("--splits", nargs="+",
                    default=["train", "val_seen", "val_unseen"])
     p.add_argument("--resume")
+    p.add_argument("--init-from-reference",
+                   help="released torch agent checkpoint (.pt) in the "
+                        "{vln_bert, critic} x {epoch, state_dict, optimizer} "
+                        "format (agent_cmt.py:837-875); loads weights, "
+                        "rebuilds optimizer state fresh")
     # device mesh (replaces the reference's DDP world_size flag): batch
     # shards over 'data', large kernels over 'model' when >1
     p.add_argument("--mesh-data", type=int, default=0,
@@ -271,16 +276,27 @@ def build_real(cfg, args):
 
 def main():
     args = parse_args()
-    from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
-        reverie_config, rxr_config, tiny_test_config, _replace
+    from vln_imagine_tpu.config import cvdn_config, duet_r2r_config, \
+        hamt_r2r_config, r4r_config, reverie_config, rxr_config, \
+        soon_config, tiny_test_config, _replace
     from vln_imagine_tpu.driver import FinetuneDriver
 
+    # per-dataset presets carry the right env capacities (gt-path buffer,
+    # action horizon, instruction length) — long-path variants (r4r, rxr,
+    # cvdn, soon) overflow the r2r defaults and
+    # episodes_from_annotations raises rather than silently truncating
     if args.synthetic:
         cfg = tiny_test_config(args.agent)
-    elif args.dataset in ("reverie", "soon"):
+    elif args.dataset == "soon":
+        cfg = soon_config()
+    elif args.dataset == "reverie":
         cfg = reverie_config(args.agent)
     elif args.dataset == "rxr" and args.agent == "hamt":
         cfg = rxr_config()
+    elif args.dataset == "r4r":
+        cfg = r4r_config(args.agent)
+    elif args.dataset == "cvdn":
+        cfg = cvdn_config()
     else:
         cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
     cfg = cfg.replace(dataset=args.dataset)
@@ -351,6 +367,11 @@ def main():
     driver = FinetuneDriver(cfg, tables, train, vals, args.log_dir,
                             graphs=graphs, aug_split=aug)
     driver.setup()
+    if args.init_from_reference:
+        info = driver.init_from_reference(args.init_from_reference)
+        print(f"initialized from reference checkpoint "
+              f"{args.init_from_reference} (epoch {info['epoch']}, "
+              f"{len(info['skipped'])} keys skipped)")
     if args.resume:
         driver.load_checkpoint(args.resume)
     if args.eval_only:

@@ -222,13 +222,21 @@ def episodes_from_annotations(
     imagine_mask_override: np.ndarray | None = None,
     obj_id_fn=None,
     imagine_feat_dim: int = 768,
+    clamp_gt_path: bool = False,
 ) -> tuple[EpisodeBatch, list[str]]:
     """Annotation dicts -> EpisodeBatch (+ instr_id list for eval joins).
 
     imagine_mask_override: [B, I] validity mask to use instead of the
     generated-flag-derived one — the v1 imagination format
     (`_create_diffusion_imaginations`, agent_cmt.py:217-246) packs features
-    densely with a first-n mask and has no generated-flag JSON."""
+    densely with a first-n mask and has no generated-flag JSON.
+
+    clamp_gt_path: overflowing gt paths raise by default (a truncated path
+    shifts gt_path[-1] — the teacher/reward goal — onto an intermediate
+    node); True clips to the buffer with a warning instead, which only the
+    NDH sampled-goal path opts into (goals there are resampled per call and
+    scored via end_panos, so a rare clip degrades supervision, not eval)."""
+    import warnings
     scan_index = {g.scan_id: s for s, g in enumerate(graphs)}
     id_maps = {g.scan_id: g.id_to_index for g in graphs}
     B = len(items)
@@ -264,7 +272,23 @@ def episodes_from_annotations(
         s = scan_index[item["scan"]]
         idmap = id_maps[item["scan"]]
         scan[b] = s
-        path = [idmap[v] for v in item["path"]][:P]
+        path = [idmap[v] for v in item["path"]]
+        if len(path) > P:
+            # Truncating would silently shift gt_path[-1] (the goal the
+            # teacher and reward shaping steer toward) onto an intermediate
+            # node and corrupt every DTW-family number.  Long-path variants
+            # must pick the sized preset (r4r_config / rxr_config /
+            # cvdn_config / soon_config) or raise env.max_gt_path_len.
+            if not clamp_gt_path:
+                raise ValueError(
+                    f"gt path of {item['instr_id']} has {len(path)} nodes "
+                    f"but env.max_gt_path_len={P}; use the dataset's config "
+                    f"preset (r4r/rxr/cvdn/soon) or raise max_gt_path_len")
+            warnings.warn(
+                f"clamping gt path of {item['instr_id']} "
+                f"({len(path)} > max_gt_path_len={P}); the clipped prefix "
+                f"supervises toward an intermediate node", stacklevel=2)
+            path = path[:P]
         gt_len[b] = len(path)
         gt_path[b, :len(path)] = path
         gt_path[b, len(path):] = path[-1]
@@ -348,7 +372,7 @@ def ndh_episodes_from_annotations(
         resolved.append(it)
     ep, ids = episodes_from_annotations(
         resolved, graphs, AuxMetadata(), max_instr_len, max_gt_path_len,
-        max_imaginations)
+        max_imaginations, clamp_gt_path=True)
     return ep, ids, end_panos_all
 
 

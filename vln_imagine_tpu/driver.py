@@ -164,6 +164,41 @@ class FinetuneDriver:
         self.state = self._place_state(self.ckpt.load(name, self.state))
         return self.state
 
+    def init_from_reference(self, path: str) -> dict:
+        """Initialize from a released torch agent checkpoint — the
+        {vln_bert, critic} x {epoch, state_dict, optimizer} format the
+        reference agents save (agent_cmt.py:837-875), including DDP
+        'module.' prefix healing (agent_base.py:250-282).  Optimizer states
+        are rebuilt fresh (the reference's load defaults to
+        resume_optimizer=False too).  Returns {'epoch', 'skipped'}."""
+        import numpy as np
+
+        from vln_imagine_tpu.ckpt.convert import verify_converted
+        from vln_imagine_tpu.ckpt.manager import load_reference_checkpoint
+
+        assert self.state is not None, "setup() before init_from_reference()"
+        loaded = load_reference_checkpoint(path, agent=self.cfg.agent)
+
+        def graft(ex, src):
+            if isinstance(ex, dict):
+                return {k: graft(v, src[k]) for k, v in ex.items()}
+            return np.asarray(src, dtype=ex.dtype)
+
+        host = jax.device_get(self.state.params)
+        problems = verify_converted(loaded["params"], host)
+        assert not problems, (
+            f"reference checkpoint '{path}' does not cover this model: "
+            + "; ".join(problems[:8]))
+        state = self.state.replace(params=graft(host, loaded["params"]))
+        if loaded.get("critic_params") is not None and \
+                getattr(self.state, "critic_params", None) is not None:
+            c_host = jax.device_get(self.state.critic_params)
+            state = state.replace(
+                critic_params=graft(c_host, loaded["critic_params"]))
+        self.state = self._place_state(state)
+        return {"epoch": loaded.get("epoch"),
+                "skipped": loaded.get("skipped", [])}
+
     # ----------------------------------------------------------------- train
     def train_interval(self, n_iters: int) -> dict:
         logs: dict[str, list] = {}

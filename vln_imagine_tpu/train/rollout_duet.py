@@ -201,10 +201,12 @@ def rollout_duet(
         gmap_valid = jnp.concatenate([jnp.ones((B, 1), bool), gvalid_s], 1)
         cur_slot = jnp.take_along_axis(gm.slot_of, st.node[:, None], 1)[:, 0]
         if tcfg.act_visited_nodes:
-            # --act_visited_nodes (agent.py:109-113): only the CURRENT node
-            # counts as visited for the model's mask / valid action set —
-            # every other graph node stays actionable (the teacher below
-            # still uses the true visited set, like the reference)
+            # --act_visited_nodes (agent.py:107-122): only the CURRENT node
+            # counts as visited — every other graph node stays actionable.
+            # The reference builds gmap_visited_masks from this partition
+            # and feeds the SAME mask to _teacher_action_r4r and
+            # no_vp_left, so the dagger teacher and forced stops below use
+            # act_visited_s too, not the true visited set
             act_visited_s = (jnp.arange(Gcap)[None, :]
                              == cur_slot[:, None]) & gvalid_s
         else:
@@ -304,7 +306,7 @@ def rollout_duet(
                       probs[:, 0])))
 
         # ---------------- teacher (agent.py:241-287, _teacher_action_r4r)
-        no_vp_left = ~jnp.any(gvalid_s & ~gvisited_s, axis=1)
+        no_vp_left = ~jnp.any(gvalid_s & ~act_visited_s, axis=1)
         if mcfg.fusion == "local":
             # local action space: [stop] + current candidates (the reference
             # passes vp_cand_vpids as nav_vpids under fusion='local',
@@ -354,7 +356,7 @@ def rollout_duet(
             teacher = jnp.where(is_stop, 0,
                                 jnp.where(has_match, slot, ignore))
         else:
-            cand_ok = gvalid_s & ~gvisited_s
+            cand_ok = gvalid_s & ~act_visited_s
             if expert_policy == "ndtw":
                 # score each unvisited node by the nDTW of the trajectory
                 # extended along the full-graph shortest path to it

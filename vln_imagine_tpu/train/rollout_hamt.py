@@ -188,12 +188,32 @@ def rollout_hamt(
         key, k_vis, k_act, k_hist = jax.random.split(key, 4)
 
         obs, out = visual_forward(st, h_buf, h_len, k_vis)
+        # CVDN/NDH supervises with the shortest path to the sampled goal
+        # (cvdn env stores endpoints only); others follow the annotated path
+        teacher = envx.teacher_hamt(tables, ep, st, t, ignore,
+                                    shortest_teacher=(cfg.dataset == "cvdn"))
+
+        # IL: summed CE with ignore index from the UNMASKED logits — the
+        # reference computes ml_loss before the no_cand_backtrack
+        # masked_fill_ (agent_cmt.py:547 vs :549-558): under
+        # feedback='sample' the teacher can legitimately target a visited
+        # candidate once the agent strays (and always does in r2r_back's
+        # return phase), so masking first would inject ~1e9-scale CE terms
+        if train_ml is not None:
+            logp = jax.nn.log_softmax(out.act_logits.astype(jnp.float32), -1)
+            tgt = jnp.clip(teacher, 0, logp.shape[1] - 1)
+            ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+            ce_skip = teacher == ignore
+            if il_m is not None:
+                ce_skip = ce_skip | ~il_m   # CE supervises the IL half only
+            ml_acc = ml_acc + jnp.sum(jnp.where(ce_skip, 0.0, ce))
+
         if tcfg.no_cand_backtrack:
             # mask candidates leading to already-visited nodes (incl. the
-            # current one), agent_cmt.py:549-558; LOGIT_NEG_INF instead of
-            # the reference's -inf keeps sampling entropy finite (softmax
-            # still gives exactly-zero probability in f32); the [STOP] slot
-            # stays available
+            # current one) for action selection / RL log-probs only,
+            # agent_cmt.py:549-558; LOGIT_NEG_INF instead of the reference's
+            # -inf keeps sampling entropy finite (softmax still gives
+            # exactly-zero probability in f32); the [STOP] slot stays open
             cand_nodes = tables.adj[ep.scan[:, None],
                                     st.node[:, None],
                                     jnp.arange(K)[None, :]]       # [B, K]
@@ -206,20 +226,6 @@ def rollout_hamt(
             out = out._replace(
                 act_logits=jnp.where(bt_full, LOGIT_NEG_INF,
                                      out.act_logits))
-        # CVDN/NDH supervises with the shortest path to the sampled goal
-        # (cvdn env stores endpoints only); others follow the annotated path
-        teacher = envx.teacher_hamt(tables, ep, st, t, ignore,
-                                    shortest_teacher=(cfg.dataset == "cvdn"))
-
-        # IL: summed CE with ignore index (agent_cmt.py:105,547)
-        if train_ml is not None:
-            logp = jax.nn.log_softmax(out.act_logits.astype(jnp.float32), -1)
-            tgt = jnp.clip(teacher, 0, logp.shape[1] - 1)
-            ce = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
-            ce_skip = teacher == ignore
-            if il_m is not None:
-                ce_skip = ce_skip | ~il_m   # CE supervises the IL half only
-            ml_acc = ml_acc + jnp.sum(jnp.where(ce_skip, 0.0, ce))
 
         a_t, logp_a, entropy = _select_action(
             out.act_logits, (obs.nav_types != 0) & obs.valid, teacher,
