@@ -125,10 +125,11 @@ def main():
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer
     extra = {}
-    if args.agent == "hamt" and not args.synthetic and not args.no_prefetch:
-        # default real-data path: write the feature table to an mmap bank
-        # and overlap per-batch row gathers with device compute via the
-        # native BankPrefetcher (PrefetchLoader parity, loader.py:90-124)
+    if not args.synthetic and not args.no_prefetch:
+        # default real-data path for BOTH stacks: write the feature table to
+        # an mmap bank and overlap per-batch row gathers with device compute
+        # via the native BankPrefetcher (PrefetchLoader parity — it wraps the
+        # HAMT and DUET loaders alike, loader.py:90-124)
         import numpy as _np
 
         from vln_imagine_tpu.native import FeatureBank

@@ -161,3 +161,45 @@ def test_prefetch_batcher_matches_synchronous(tmp_path):
             np.testing.assert_array_equal(
                 np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{task}/{k}")
     del jax  # imported to keep parity with the training-loop environment
+
+
+def test_duet_prefetch_batcher_matches_synchronous(tmp_path):
+    """PrefetchDuetTrajectoryBatcher produces byte-identical batches to the
+    synchronous DuetTrajectoryBatcher with one gather always in flight —
+    the DUET half of the reference PrefetchLoader overlap
+    (VLN-DUET/pretrain_src/data/loader.py:90-124)."""
+    from vln_imagine_tpu.config import tiny_test_config
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+    from vln_imagine_tpu.pretrain.duet_data import (
+        DuetTrajectoryBatcher, PrefetchDuetTrajectoryBatcher)
+
+    cfg = tiny_test_config("duet")
+    world_np, _ = synthetic_world(
+        num_scans=2, num_nodes=12, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=16, seed=5)
+    ep = synthetic_episodes(
+        world_np, batch=6, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=6)
+    feat = np.asarray(world_np.feat)
+    S, N = feat.shape[:2]
+    bank = native.FeatureBank.write(
+        str(tmp_path / "duet_bank.f32"), feat.reshape(S * N, -1))
+
+    kw = dict(max_hist_len=cfg.env.max_action_len,
+              max_gmap_nodes=cfg.env.max_gmap_nodes, angle_feat_size=4,
+              image_prob_size=8, vocab_size=cfg.model.vocab_size, seed=9)
+    sync = DuetTrajectoryBatcher(world_np, ep, **kw)
+    pref = PrefetchDuetTrajectoryBatcher(world_np, ep, bank, **kw)
+    assert pref.w["feat"] is None  # features only reachable via the bank
+
+    for task in ["mlm", "sap", "mrc", "mlm", "sap", "mrc"]:
+        a = sync.task_batch(task, 3)
+        b = pref.task_batch(task, 3)
+        assert pref._pending is not None  # next gather already in flight
+        assert set(a) == set(b), (task, set(a) ^ set(b))
+        for k in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[k]), np.asarray(b[k]), err_msg=f"{task}/{k}")

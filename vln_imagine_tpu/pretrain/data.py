@@ -357,23 +357,22 @@ class E2EImageBatcher(TrajectoryBatcher):
         return batch
 
 
-class PrefetchTrajectoryBatcher(TrajectoryBatcher):
-    """TrajectoryBatcher whose panorama features are served from a native
-    mmap FeatureBank through the C++ BankPrefetcher: while the device
-    executes the step for batch t, the worker thread gathers the pano rows
-    for batch t+1 (the reference PrefetchLoader overlap,
-    pretrain_src/data/loader.py:90-124, moved host-side).
+class BankPrefetchMixin:
+    """Prefetch engine shared by the HAMT and DUET pre-training batchers:
+    panorama features are served from a native mmap FeatureBank through the
+    C++ BankPrefetcher — while the device executes the step for batch t, the
+    worker thread gathers the pano rows for batch t+1 (the reference
+    PrefetchLoader overlap, pretrain_src/data/loader.py:90-124, which covers
+    BOTH stacks there, moved host-side).
 
     Bank layout: row (scan * N + node) = that node's [V * Df] panorama
     features.  Batch indices come from `idx_rng` (a stream separate from the
     label RNG), so the one-batch-ahead draw yields byte-identical batches to
-    the synchronous TrajectoryBatcher with the same seed."""
+    the synchronous batcher with the same seed."""
 
-    def __init__(self, world: WorldTables, ep: EpisodeBatch, bank,
-                 max_batch_rows: int = 1024, **kwargs):
+    def _bank_init(self, world: WorldTables, bank, max_batch_rows: int):
         from vln_imagine_tpu.native import BankPrefetcher
 
-        super().__init__(world, ep, **kwargs)
         self.N = np.asarray(world.node_xyz).shape[1]
         self.bank = bank
         assert bank.row_floats == self.views * self.Df, (
@@ -410,6 +409,15 @@ class PrefetchTrajectoryBatcher(TrajectoryBatcher):
         # gathers (GIL released) while numpy assembly + the device step run
         self._pending = self._submit(batch_size)
         return super().task_batch(task, batch_size, idxs=idxs)
+
+
+class PrefetchTrajectoryBatcher(BankPrefetchMixin, TrajectoryBatcher):
+    """HAMT 6-task batcher over the async feature bank (see mixin)."""
+
+    def __init__(self, world: WorldTables, ep: EpisodeBatch, bank,
+                 max_batch_rows: int = 1024, **kwargs):
+        super().__init__(world, ep, **kwargs)
+        self._bank_init(world, bank, max_batch_rows)
 
 
 class MetaSampler:

@@ -16,7 +16,7 @@ import numpy as np
 
 from vln_imagine_tpu.envx.tables import EpisodeBatch, WorldTables
 from vln_imagine_tpu.ops.angles import all_point_angle_feature
-from vln_imagine_tpu.pretrain.data import MASK_TOKEN
+from vln_imagine_tpu.pretrain.data import MASK_TOKEN, BankPrefetchMixin
 
 
 class DuetTrajectoryBatcher:
@@ -41,6 +41,10 @@ class DuetTrajectoryBatcher:
         self.vocab = vocab_size
         self.ep = ep
         self.rng = np.random.default_rng(seed)
+        # separate stream for batch-index draws so a pipelined subclass that
+        # draws indices one batch ahead (PrefetchDuetTrajectoryBatcher)
+        # yields byte-identical batches to the synchronous order
+        self.idx_rng = np.random.default_rng(seed + 1)
         self.end_ratio = end_vp_pos_ratio
         self.mlm_prob = mlm_prob
         self.angle_table = all_point_angle_feature(angle_feat_size,
@@ -59,10 +63,15 @@ class DuetTrajectoryBatcher:
                            if ep.gt_obj_id is not None else None)
         self.Tp = self.K + self.views + self.Ko
 
+    def _feat(self, scan, node) -> np.ndarray:
+        """[V, Df] panorama features of one node; the prefetch subclass
+        serves this from an mmap feature bank instead of shadow arrays."""
+        return self.w["feat"][scan, node]
+
     def _pano(self, scan, node, cur_view):
         """DUET pano token bank at one node ([K cands | V views])."""
         K, V, A = self.K, self.views, self.A
-        feat = self.w["feat"][scan, node]
+        feat = self._feat(scan, node)
         adj_valid = self.w["adj_valid"][scan, node]
         pid = self.w["pointid"][scan, node]
         per = V // 3
@@ -296,10 +305,23 @@ class DuetTrajectoryBatcher:
         batch["txt_labels"] = labels
         return batch
 
-    def task_batch(self, task: str, batch_size: int):
-        idxs = self.rng.integers(0, self.ep.batch, batch_size)
+    def task_batch(self, task: str, batch_size: int, idxs=None):
+        if idxs is None:
+            idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
         if task == "mlm":
             return self.mlm_batch(idxs)
         if task in ("mrc", "sap", "og"):
             return self.base_batch(idxs)
         raise ValueError(task)
+
+
+class PrefetchDuetTrajectoryBatcher(BankPrefetchMixin, DuetTrajectoryBatcher):
+    """DUET 3/4-task batcher over the async native feature bank — the
+    reference's PrefetchLoader wraps the DUET pretrain loaders too
+    (VLN-DUET/pretrain_src/data/loader.py:90-124); this is that overlap for
+    the DUET stack."""
+
+    def __init__(self, world: WorldTables, ep: EpisodeBatch, bank,
+                 max_batch_rows: int = 1024, **kwargs):
+        super().__init__(world, ep, **kwargs)
+        self._bank_init(world, bank, max_batch_rows)

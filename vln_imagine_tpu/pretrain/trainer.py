@@ -279,12 +279,15 @@ class DuetPretrainer(BasePretrainer):
 
     def __init__(self, cfg: Config, world: WorldTables, ep: EpisodeBatch,
                  image_prob_size: int = 64, seed: int | None = None,
-                 donate: bool = True):
-        from vln_imagine_tpu.pretrain.duet_data import DuetTrajectoryBatcher
+                 donate: bool = True, feature_bank=None):
         from vln_imagine_tpu.pretrain.duet_model import DuetPretrainModel
 
         super().__init__(cfg, donate=donate)
         self.model_cls = DuetPretrainModel
+        # native async prefetcher over an mmap feature bank: the default on
+        # the real-data path, same as HamtPretrainer (the reference
+        # PrefetchLoader covers both stacks, pretrain_src/data/loader.py:90)
+        self._feature_bank = feature_bank
         # the pretrain model always carries the lang-side x-layer blocks:
         # MLM contextualizes text over both branches via lang2visn
         # (pretrain config/r2r_model_config.json:32, vilmodel.py:370-374)
@@ -298,14 +301,18 @@ class DuetPretrainer(BasePretrainer):
             world, ep, seed if seed is not None else cfg.pretrain.seed)
 
     def _make_batcher(self, world: WorldTables, ep: EpisodeBatch, seed: int):
-        from vln_imagine_tpu.pretrain.duet_data import DuetTrajectoryBatcher
-        return DuetTrajectoryBatcher(
-            world, ep, max_hist_len=self.cfg.env.max_action_len,
-            max_gmap_nodes=self.cfg.env.max_gmap_nodes,
-            angle_feat_size=self.cfg.model.angle_feat_size,
-            image_prob_size=self._image_prob_size,
-            vocab_size=self.cfg.model.vocab_size, seed=seed,
-            mlm_prob=self.cfg.pretrain.mlm_prob)
+        from vln_imagine_tpu.pretrain.duet_data import (
+            DuetTrajectoryBatcher, PrefetchDuetTrajectoryBatcher)
+        kw = dict(max_hist_len=self.cfg.env.max_action_len,
+                  max_gmap_nodes=self.cfg.env.max_gmap_nodes,
+                  angle_feat_size=self.cfg.model.angle_feat_size,
+                  image_prob_size=self._image_prob_size,
+                  vocab_size=self.cfg.model.vocab_size, seed=seed,
+                  mlm_prob=self.cfg.pretrain.mlm_prob)
+        if self._feature_bank is not None:
+            return PrefetchDuetTrajectoryBatcher(world, ep,
+                                                 self._feature_bank, **kw)
+        return DuetTrajectoryBatcher(world, ep, **kw)
 
 
 class E2EPretrainer(BasePretrainer):
