@@ -4,6 +4,8 @@ round 1: the first real-data run must not be the first execution)."""
 
 import json
 
+import pytest
+
 import numpy as np
 
 from vln_imagine_tpu.data.annotations import (
@@ -87,3 +89,37 @@ def test_r2r_enc_json_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(ep.gt_len), [3, 3, 3])
     np.testing.assert_array_equal(np.asarray(ep.start_heading),
                                   np.float32(4.1) * np.ones(3))
+
+
+def test_wordpiece_matches_genuine_bert_tokenizer(tmp_path):
+    """Byte-for-byte parity with transformers.BertTokenizer over the same
+    vocab file on contractions, accented text, punctuation runs and control
+    chars — the cases where a naive [a-z0-9']+ basic split diverges from
+    bert-base-uncased's BasicTokenizer (lowercase + strip-accents +
+    split-all-punctuation), desyncing ids from released pre-encoded
+    annotations."""
+    pytest.importorskip("transformers")
+    from transformers import BertTokenizer
+
+    vocab = (["[PAD]"] + [f"[unused{i}]" for i in range(99)]
+             + ["[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+             + ["walk", "to", "the", "book", "##shelf", "and", "stop",
+                "turn", "left", "right", ",", ".", "don", "'", "t", "cafe",
+                "entrance", "##s", "up", "stairs", "##stairs", "!", "?",
+                "-", "past"])
+    p = tmp_path / "vocab_full.txt"
+    p.write_text("\n".join(vocab) + "\n")
+    ref = BertTokenizer(str(p), do_lower_case=True)
+    mine = BertWordPieceTokenizer(str(p))
+    cases = [
+        "Don't stop at the CAFÉ entrance.",
+        "walk to the bookshelf and stop",
+        "Turn left-right , then up the upstairs!?",
+        "naïve café résumé",
+        "walk\tpast\nthe    entrances .",
+        "don''t don't",
+        "zzz unknownword don'",
+    ]
+    for c in cases:
+        assert mine.tokenize(c) == ref.tokenize(c), c
+        assert mine.encode(c) == ref.encode(c), c

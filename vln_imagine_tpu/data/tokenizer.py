@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import unicodedata
 
 
 def get_tokenizer(dataset: str = "r2r", tokenizer: str | None = None,
@@ -49,8 +50,43 @@ class BertWordPieceTokenizer:
         self.mask_token_id = self.vocab.get("[MASK]", 103)
         self.unk_token_id = self.vocab.get("[UNK]", 100)
 
+    @staticmethod
+    def _is_punct(ch: str) -> bool:
+        # BertTokenizer treats all ASCII non-alnum printables as punctuation
+        # (so "don't" splits to don / ' / t) plus every Unicode P* category
+        cp = ord(ch)
+        if (33 <= cp <= 47 or 58 <= cp <= 64 or 91 <= cp <= 96
+                or 123 <= cp <= 126):
+            return True
+        return unicodedata.category(ch).startswith("P")
+
     def _basic(self, text: str) -> list[str]:
-        return re.findall(r"[a-z0-9']+|[^\sa-z0-9]", text.lower())
+        # BasicTokenizer(do_lower_case=True): lowercase, NFD accent
+        # stripping, drop control chars, split every punctuation char
+        text = unicodedata.normalize("NFD", text.lower())
+        out: list[str] = []
+        word: list[str] = []
+        for ch in text:
+            cat = unicodedata.category(ch)
+            if cat == "Mn":  # strip accents (lowercase implies it in BERT)
+                continue
+            if ch.isspace():
+                if word:
+                    out.append("".join(word))
+                    word = []
+                continue
+            if ch in ("\x00", "�") or cat in ("Cc", "Cf"):
+                continue
+            if self._is_punct(ch):
+                if word:
+                    out.append("".join(word))
+                    word = []
+                out.append(ch)
+                continue
+            word.append(ch)
+        if word:
+            out.append("".join(word))
+        return out
 
     def tokenize(self, text: str) -> list[str]:
         out = []

@@ -120,18 +120,17 @@ def floyd_warshall(n: int, edges: list[tuple[int, int]], xyz: np.ndarray):
     return dist, nxt, hops
 
 
-_FLOYD_CACHE: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-
-
 def shortest_path_nodes(graph: ScanGraph, src: int, dst: int) -> list[int]:
     """Host-side shortest path (node indices, inclusive of both ends) over a
     ScanGraph — the compile-time stand-in for the reference's networkx
-    Dijkstra (env.py:170-186).  Floyd tables are cached per graph object."""
-    key = id(graph)
-    if key not in _FLOYD_CACHE:
-        _FLOYD_CACHE[key] = floyd_warshall(graph.num_nodes, graph.edges,
-                                           graph.xyz)
-    _, nxt, _ = _FLOYD_CACHE[key]
+    Dijkstra (env.py:170-186).  Floyd tables are cached ON the graph object
+    (not a module dict keyed by id(): a recycled address would silently
+    serve a dead graph's tables, and the dict would never free them)."""
+    tables = getattr(graph, "_floyd_tables", None)
+    if tables is None:
+        tables = floyd_warshall(graph.num_nodes, graph.edges, graph.xyz)
+        graph._floyd_tables = tables
+    _, nxt, _ = tables
     if nxt[src, dst] < 0:
         return [src]
     path = [src]
