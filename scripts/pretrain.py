@@ -68,6 +68,8 @@ def parse_args():
 
 
 def main():
+    from train import apply_platform_env  # sibling scripts/train.py
+    apply_platform_env()
     args = parse_args()
     from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
         tiny_test_config, _replace

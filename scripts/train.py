@@ -19,6 +19,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def apply_platform_env():
+    """VLN_PLATFORM=cpu forces the backend through jax.config (the axon
+    site config overrides the JAX_PLATFORMS env var, so the env-var route
+    does not work here) and enables the persistent compile cache.  Must run
+    before any backend init — lets the CLIs operate with the TPU tunnel
+    down and makes them drivable from subprocess tests."""
+    import jax
+
+    plat = os.environ.get("VLN_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("VLN_JAX_CACHE", "/tmp/vln_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--agent", choices=["hamt", "duet"], default="hamt")
@@ -105,6 +121,10 @@ def parse_args():
                         "{vln_bert, critic} x {epoch, state_dict, optimizer} "
                         "format (agent_cmt.py:837-875); loads weights, "
                         "rebuilds optimizer state fresh")
+    p.add_argument("--init-from-pretrain",
+                   help="model_step_<N> snapshot from scripts/pretrain.py; "
+                        "grafts the shared submodules into the fine-tune "
+                        "model (vlnbert_init.py:20-31 init chain)")
     # device mesh (replaces the reference's DDP world_size flag): batch
     # shards over 'data', large kernels over 'model' when >1
     p.add_argument("--mesh-data", type=int, default=0,
@@ -276,6 +296,7 @@ def build_real(cfg, args):
 
 def main():
     args = parse_args()
+    apply_platform_env()
     from vln_imagine_tpu.config import cvdn_config, duet_r2r_config, \
         hamt_r2r_config, r4r_config, reverie_config, rxr_config, \
         soon_config, tiny_test_config, _replace
@@ -372,6 +393,12 @@ def main():
         print(f"initialized from reference checkpoint "
               f"{args.init_from_reference} (epoch {info['epoch']}, "
               f"{len(info['skipped'])} keys skipped)")
+    if args.init_from_pretrain:
+        info = driver.init_from_pretrain(args.init_from_pretrain)
+        print(f"initialized from pretrain snapshot "
+              f"{args.init_from_pretrain} ({info['transferred']} leaves "
+              f"transferred, {len(info['missing'])} finetune-only modules "
+              f"at init)")
     if args.resume:
         driver.load_checkpoint(args.resume)
     if args.eval_only:

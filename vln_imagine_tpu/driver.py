@@ -199,6 +199,30 @@ class FinetuneDriver:
         return {"epoch": loaded.get("epoch"),
                 "skipped": loaded.get("skipped", [])}
 
+    def init_from_pretrain(self, path: str) -> dict:
+        """Initialize the navigator from a pre-training snapshot
+        (`model_step_<N>` written by scripts/pretrain.py — the reference's
+        ModelSaver file, pretrain_src/utils/save.py:23-46, consumed at
+        fine-tune model construction via vlnbert_init.py:20-31 /
+        main_r2r.py:303-316).  Shared submodules take the pre-trained
+        values; fine-tune-only modules (imagination, critic, aux head) stay
+        at init.  Returns {'transferred', 'missing'}."""
+        import orbax.checkpoint as ocp
+
+        from vln_imagine_tpu.ckpt.transfer import init_finetune_from_pretrain
+
+        assert self.state is not None, "setup() before init_from_pretrain()"
+        restored = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        host = jax.device_get(self.state.params)
+        new_params, transferred, missing = init_finetune_from_pretrain(
+            host, restored["params"])
+        assert transferred > 0, (
+            f"no parameter subtree of '{path}' matched the "
+            f"{self.cfg.agent} fine-tune model")
+        self.state = self._place_state(
+            self.state.replace(params=new_params))
+        return {"transferred": transferred, "missing": missing}
+
     # ----------------------------------------------------------------- train
     def train_interval(self, n_iters: int) -> dict:
         logs: dict[str, list] = {}
