@@ -227,3 +227,16 @@ def test_duet_detailed_output_submission(tmp_path):
         for vp, dd in p["details"].items():
             assert vp in all_vps
             assert np.isfinite(dd["stop_prob"])
+
+
+def test_validation_pipelining_matches_synchronous(driver, monkeypatch):
+    """The pipelined eval dispatch (VLN_EVAL_PIPELINE in-flight window) is
+    a pure scheduling change: per-item metrics are identical to fully
+    synchronous depth-1 evaluation."""
+    monkeypatch.setenv("VLN_EVAL_PIPELINE", "1")
+    driver._rng = jax.random.PRNGKey(77)
+    sync = driver.validate(driver.val_splits[0])
+    monkeypatch.setenv("VLN_EVAL_PIPELINE", "16")
+    driver._rng = jax.random.PRNGKey(77)
+    pipe = driver.validate(driver.val_splits[0])
+    assert sync == pipe

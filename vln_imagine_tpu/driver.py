@@ -254,10 +254,30 @@ class FinetuneDriver:
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
         extra = []  # pred_obj (reverie/soon) or declared midstop (r2r_back)
         details = []  # per-item {node: stop_score} (--detailed_output)
-        for idxs, fresh in EvalSampler(n, bs):
-            ep = self._place_batch(_take(split.episodes, idxs))
-            rng, self._rng = jax.random.split(self._rng)
-            out = self._eval_step(self.state.params, ep, rng)
+        # pipelined dispatch: keep a window of eval programs in flight so
+        # device compute, host batch packing and result post-processing
+        # overlap — syncing right after each dispatch serializes one tunnel
+        # round-trip per batch (jax dispatch is async; only the np.asarray
+        # below blocks).  Window bounds queued inputs' device memory.
+        from collections import deque
+        depth = max(int(os.environ.get("VLN_EVAL_PIPELINE", "16")), 1)
+        inflight: deque = deque()
+        sampler = iter(EvalSampler(n, bs))
+        exhausted = False
+        while inflight or not exhausted:
+            while not exhausted and len(inflight) < depth:
+                nxt = next(sampler, None)
+                if nxt is None:
+                    exhausted = True
+                    break
+                idxs, fresh = nxt
+                ep = self._place_batch(_take(split.episodes, idxs))
+                rng, self._rng = jax.random.split(self._rng)
+                inflight.append(
+                    (idxs, fresh, self._eval_step(self.state.params, ep, rng)))
+            if not inflight:
+                break
+            idxs, fresh, out = inflight.popleft()
             det = None
             if self._eval_detailed:
                 det = tuple(np.asarray(x) for x in out[-1])
