@@ -125,6 +125,11 @@ def parse_args():
                    help="model_step_<N> snapshot from scripts/pretrain.py; "
                         "grafts the shared submodules into the fine-tune "
                         "model (vlnbert_init.py:20-31 init chain)")
+    p.add_argument("--bert-ckpt-file",
+                   help="released torch PRE-TRAIN checkpoint "
+                        "(flat model_step_<N>.pt state_dict) — the "
+                        "reference's --bert_ckpt_file on-ramp "
+                        "(vlnbert_init.py:20-31)")
     # device mesh (replaces the reference's DDP world_size flag): batch
     # shards over 'data', large kernels over 'model' when >1
     p.add_argument("--mesh-data", type=int, default=0,
@@ -399,6 +404,12 @@ def main():
               f"{args.init_from_pretrain} ({info['transferred']} leaves "
               f"transferred, {len(info['missing'])} finetune-only modules "
               f"at init)")
+    if args.bert_ckpt_file:
+        info = driver.init_from_bert_ckpt(args.bert_ckpt_file)
+        print(f"initialized from torch pretrain checkpoint "
+              f"{args.bert_ckpt_file} ({info['transferred']} leaves "
+              f"transferred, {len(info['skipped'])} pretrain-only keys "
+              f"skipped)")
     if args.resume:
         driver.load_checkpoint(args.resume)
     if args.eval_only:

@@ -206,3 +206,87 @@ def test_driver_init_from_reference(tmp_path):
     np.testing.assert_allclose(got, want, **TOL)
     # critic installed too
     assert driver.state.critic_params is not None
+
+
+@pytest.mark.slow
+def test_bert_ckpt_file_pretrain_onramp(tmp_path):
+    """The --bert_ckpt_file on-ramp: a flat torch pre-train state_dict
+    (model_step_<N>.pt — 'module.' prefixes, shared weights under 'bert.',
+    the next_action head at top level, pretrain-only heads present,
+    NO imagination modules; the exact file get_vlnbert_models consumes,
+    vlnbert_init.py:20-31) grafts into the fine-tune model: shared
+    subtrees byte-equal, pretrain-only heads skipped, fine-tune-only
+    modules left at init."""
+    from vln_imagine_tpu.driver import FinetuneDriver, SplitData
+    from vln_imagine_tpu.envx import synthetic_episodes, synthetic_world
+
+    V = PH._import_ref_hamt()
+    cfg = dataclasses.replace(PH._my_config(), dataset="r2r")
+    from vln_imagine_tpu.config import _replace
+    cfg = _replace(cfg, "env", max_candidates=6, max_nodes=12, views=12,
+                   max_action_len=4, max_instr_len=12, max_gt_path_len=5)
+    cfg = _replace(cfg, "train", batch_size=2, feat_dropout=0.0)
+
+    torch.manual_seed(23)
+    ref = V.NavCMT(PH._ref_config(cfg.model)).eval()
+    # assemble the pretrain-save layout from the live torch model
+    ft_only = ("imagine_embeddings", "image_proj",
+               "contrastive_alignment_model")
+    sd = {}
+    for k, v in ref.state_dict().items():
+        if k.startswith(ft_only):
+            continue  # real pretrain checkpoints have no imagination code
+        prefixed = k if k.startswith("next_action") else "bert." + k
+        sd["module." + prefixed] = v
+    # pretrain-only heads ride along and must be skipped, not crash
+    sd["module.mlm_head.predictions.transform.dense.weight"] = \
+        torch.zeros(8, 8)
+    sd["module.itm_head.weight"] = torch.zeros(2, 8)
+    path = str(tmp_path / "model_step_130000.pt")
+    torch.save(sd, path)
+
+    world_np, graphs = synthetic_world(
+        num_scans=1, num_nodes=12, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=5)
+    ep = synthetic_episodes(
+        world_np, batch=2, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=6)
+    tables = jax.tree.map(jnp.asarray, world_np)
+    driver = FinetuneDriver(cfg, tables, SplitData("train", ep, ["a", "b"]),
+                            [], str(tmp_path / "logs"), graphs=graphs)
+    driver.setup()
+    init_imagine = jax.device_get(
+        driver.state.params["params"]["imagine_embeddings"])
+    info = driver.init_from_bert_ckpt(path)
+    assert info["transferred"] > 0
+    assert any("mlm_head" in k for k in info["skipped"])
+    assert any("itm_head" in k for k in info["skipped"])
+    # fine-tune-only imagination modules stayed at their init
+    after_imagine = jax.device_get(
+        driver.state.params["params"]["imagine_embeddings"])
+    for a, b in zip(jax.tree_util.tree_leaves(init_imagine),
+                    jax.tree_util.tree_leaves(after_imagine)):
+        np.testing.assert_array_equal(a, b)
+    assert any("imagine" in m for m, _ in info["missing"])
+
+    # shared weights match the torch source: language forward parity
+    txt = np.asarray(ep.txt_ids).astype(np.int64)
+    mask = np.asarray(ep.txt_mask)
+    with torch.no_grad():
+        want = ref("language", txt_ids=torch.from_numpy(txt),
+                   txt_masks=torch.from_numpy(mask).float()).numpy()
+    got = np.asarray(driver.trainer.model.apply(
+        driver.state.params, jnp.asarray(txt), jnp.asarray(mask),
+        method=HamtModel.language))
+    np.testing.assert_allclose(got, want, **TOL)
+    # the transferred next_action head equals the torch head tensors
+    head = jax.device_get(
+        driver.state.params["params"]["next_action"])
+    want_w = ref.state_dict()["next_action.net.0.weight"].numpy()
+    leaves = {tuple(np.asarray(l).shape): np.asarray(l)
+              for l in jax.tree_util.tree_leaves(head)}
+    assert want_w.T.shape in leaves
+    np.testing.assert_allclose(leaves[want_w.T.shape], want_w.T, **TOL)

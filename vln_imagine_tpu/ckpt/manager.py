@@ -162,3 +162,26 @@ def load_reference_checkpoint(path: str, agent: str = "hamt"):
             states["critic"]["state_dict"], C.critic_torch_to_flax_path)
         out["critic_params"] = critic_params
     return out
+
+
+def load_reference_pretrain(path: str, agent: str = "hamt"):
+    """Load a released torch PRE-TRAIN checkpoint (the flat
+    model_step_<N>.pt state_dict ModelSaver writes,
+    pretrain_src/utils/save.py:23-46 — the file the reference feeds to
+    --bert_ckpt_file, vlnbert_init.py:20-31) into a partial flax param
+    tree.  'module.'/'bert.' prefixes are healed by the key maps;
+    pretrain-only heads (mlm/mrc/itm/...) land in 'skipped' and the
+    fine-tune-only modules are absent — graft with
+    ckpt.transfer.init_finetune_from_pretrain."""
+    import torch
+
+    from vln_imagine_tpu.ckpt import convert as C
+
+    states = torch.load(path, map_location="cpu", weights_only=False)
+    assert "vln_bert" not in states, (
+        f"'{path}' is an agent-save checkpoint; use "
+        "load_reference_checkpoint for it")
+    key_fn = (C.hamt_torch_to_flax_path if agent == "hamt"
+              else C.duet_torch_to_flax_path)
+    params, skipped = C.convert_state_dict(states, key_fn)
+    return {"params": params, "skipped": skipped}

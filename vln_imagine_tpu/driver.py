@@ -199,6 +199,29 @@ class FinetuneDriver:
         return {"epoch": loaded.get("epoch"),
                 "skipped": loaded.get("skipped", [])}
 
+    def init_from_bert_ckpt(self, path: str) -> dict:
+        """The reference's --bert_ckpt_file on-ramp: initialize the
+        navigator from a released torch pre-train checkpoint (flat
+        model_step_<N>.pt state_dict, vlnbert_init.py:20-31 incl.
+        'module.' healing and the next_action head transfer).  Shared
+        submodules take the pre-trained values; fine-tune-only modules
+        (imagination, aux head, critic) stay at init; pretrain-only heads
+        are skipped.  Returns {'transferred', 'missing', 'skipped'}."""
+        from vln_imagine_tpu.ckpt.manager import load_reference_pretrain
+        from vln_imagine_tpu.ckpt.transfer import init_finetune_from_pretrain
+
+        assert self.state is not None, "setup() before init_from_bert_ckpt()"
+        loaded = load_reference_pretrain(path, agent=self.cfg.agent)
+        host = jax.device_get(self.state.params)
+        new_params, transferred, missing = init_finetune_from_pretrain(
+            host, loaded["params"])
+        assert transferred > 0, (
+            f"no parameter subtree of '{path}' matched the "
+            f"{self.cfg.agent} fine-tune model")
+        self.state = self._place_state(self.state.replace(params=new_params))
+        return {"transferred": transferred, "missing": missing,
+                "skipped": loaded["skipped"]}
+
     def init_from_pretrain(self, path: str) -> dict:
         """Initialize the navigator from a pre-training snapshot
         (`model_step_<N>` written by scripts/pretrain.py — the reference's
