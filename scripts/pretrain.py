@@ -64,6 +64,14 @@ def parse_args():
                    help="held-out validation splits (reference default: "
                         "val_seen val_unseen, main_r2r.py:303-316)")
     p.add_argument("--resume")
+    p.add_argument("--init-ckpt",
+                   help="torch BERT / LXMERT weights (.pt/.pth/.bin "
+                        "state_dict) to initialize pre-training from — the "
+                        "reference's --init_pretrained surgery "
+                        "(train_r2r.py:110-139, main_r2r.py:131-147)")
+    p.add_argument("--init-pretrained", default="auto",
+                   choices=["auto", "bert", "lxmert"],
+                   help="format of --init-ckpt (auto-detects LXMERT)")
     return p.parse_args()
 
 
@@ -146,6 +154,20 @@ def main():
     for v in val_splits:
         pt.add_validation_split(v.name, tables, v.episodes, seed=args.seed)
     state = pt.init_state()
+    if args.init_ckpt:
+        from vln_imagine_tpu.ckpt.manager import load_pretrain_init
+        from vln_imagine_tpu.ckpt.transfer import init_finetune_from_pretrain
+        loaded = load_pretrain_init(args.init_ckpt, agent=args.agent,
+                                    source=args.init_pretrained)
+        new_params, transferred, missing = init_finetune_from_pretrain(
+            state.params, loaded["params"])
+        assert transferred > 0, (
+            f"no subtree of {args.init_ckpt} matched the {args.agent} "
+            "pretrain model")
+        state = state.replace(params=new_params)
+        print(f"initialized from {loaded['source']} weights "
+              f"{args.init_ckpt}: {transferred} leaves transferred, "
+              f"{len(loaded['skipped'])} source keys skipped")
 
     os.makedirs(args.log_dir, exist_ok=True)
     import orbax.checkpoint as ocp

@@ -178,7 +178,67 @@ def hamt_torch_to_flax_path(key: str) -> str | None:
 
     if key in ("pooler.dense.weight", "pooler.dense.bias"):
         return None  # BertPooler exists in BERT inits but is unused
+    p = _mlm_head_path(key)
+    if p is not None:
+        return p
     return None
+
+
+def _mlm_head_path(key: str) -> str | None:
+    """BertLMPredictionHead keys ('cls.predictions.*' in HF BERT,
+    'mlm_head.predictions.*' after the reference's pretrain remap,
+    train_r2r.py:134-136) -> our tied MLMHead params.  The decoder weight is
+    tied to the word embedding (pretrain_cmt.py:96-99) and the decoder bias
+    duplicates 'bias', so both are intentionally dropped."""
+    m = re.match(r"^(?:cls|mlm_head)\.predictions\.(.*)$", key)
+    if not m:
+        return None
+    rest = m.group(1)
+    if rest == "bias":
+        return "mlm_head/bias"
+    mm = re.match(r"^transform\.dense\.(weight|bias)$", rest)
+    if mm:
+        return f"mlm_head/dense/{mm.group(1)}"
+    mm = re.match(r"^transform\.LayerNorm\.(weight|bias)$", rest)
+    if mm:
+        return f"mlm_head/LayerNorm/ln/{mm.group(1)}"
+    return None
+
+
+def lxmert_remap(state_dict: dict) -> dict:
+    """model_LXRT.pth -> GlocalTextPathCMT key space, exactly the
+    reference's LXMERT init surgery (train_r2r.py:120-139): language layers
+    to lang_encoder, the 5 LXMERT x-layers DUPLICATED into both the local
+    and the global cross-modal encoders, cls.predictions to mlm_head."""
+    out = {}
+    for k, v in state_dict.items():
+        k = k.replace("module.", "")
+        if "bert.encoder.layer" in k:
+            out[k.replace("bert.encoder.layer",
+                          "bert.lang_encoder.layer")] = v
+        elif "bert.encoder.x_layers" in k:
+            out[k.replace("bert.encoder.x_layers",
+                          "bert.local_encoder.encoder.x_layers")] = v
+            out[k.replace("bert.encoder.x_layers",
+                          "bert.global_encoder.encoder.x_layers")] = v
+        elif "cls.predictions" in k:
+            out[k.replace("cls.predictions", "mlm_head.predictions")] = v
+        else:
+            out[k] = v
+    return out
+
+
+def bert_remap_for_duet(state_dict: dict) -> dict:
+    """HF bert-base-uncased keys -> GlocalTextPathCMT key space.  NOTE: the
+    reference's 'bert' init branch copies HF names verbatim
+    (train_r2r.py:110-119), where 'encoder.layer.*' matches nothing in the
+    DUET model — only the embeddings actually transfer there.  Here the
+    language layers are remapped onto lang_encoder so a BERT init
+    initializes them too (strictly more weights transferred; embeddings
+    behave identically)."""
+    return {k.replace("module.", "").replace("encoder.layer.",
+                                             "lang_encoder.layer."): v
+            for k, v in state_dict.items()}
 
 
 def duet_torch_to_flax_path(key: str) -> str | None:
@@ -259,6 +319,9 @@ def duet_torch_to_flax_path(key: str) -> str | None:
         r"^contrastive_alignment_model\.image_proj\.fc([123])\.weight$", key)
     if m:
         return f"image_proj/fc{m.group(1)}/weight"
+    p = _mlm_head_path(key)
+    if p is not None:
+        return p
     return None
 
 

@@ -185,3 +185,32 @@ def load_reference_pretrain(path: str, agent: str = "hamt"):
               else C.duet_torch_to_flax_path)
     params, skipped = C.convert_state_dict(states, key_fn)
     return {"params": params, "skipped": skipped}
+
+
+def load_pretrain_init(path: str, agent: str = "hamt",
+                       source: str = "auto"):
+    """BERT / LXMERT torch weights -> partial flax param tree for STARTING
+    pre-training (the reference's --init_pretrained surgery:
+    VLN-DUET/pretrain_src/train_r2r.py:110-139, HAMT main_r2r.py:131-147).
+    source: 'bert' (HF bert-base-uncased state_dict), 'lxmert'
+    (model_LXRT.pth), or 'auto' (detects LXMERT by its x_layers keys).
+    Graft the result with ckpt.transfer.init_finetune_from_pretrain."""
+    import torch
+
+    from vln_imagine_tpu.ckpt import convert as C
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    if source == "auto":
+        source = ("lxmert" if any("encoder.x_layers" in k for k in sd)
+                  else "bert")
+    if source == "lxmert":
+        assert agent == "duet", "LXMERT init is the DUET recipe"
+        sd = C.lxmert_remap(sd)
+    elif agent == "duet":
+        sd = C.bert_remap_for_duet(sd)
+    key_fn = (C.hamt_torch_to_flax_path if agent == "hamt"
+              else C.duet_torch_to_flax_path)
+    params, skipped = C.convert_state_dict(sd, key_fn)
+    return {"params": params, "skipped": skipped, "source": source}
