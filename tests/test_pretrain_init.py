@@ -238,3 +238,30 @@ def test_bert_init_hamt_pretrain(tmp_path):
     state = state.replace(params=new_params)
     state, summary = pt.train(state, num_steps=2, batch_size=3)
     assert all(np.isfinite(v) for v in summary.values()), summary
+
+
+def test_xlm_roberta_token_type_duplication(tmp_path):
+    """xlm-roberta-base (the RxR recipe) ships a single token-type row; the
+    loader duplicates it so the second row serves image embeddings, exactly
+    train_r2r.py:115-118."""
+    cfg, pt, state = _pretrainer("hamt")
+    m = cfg.model
+    H, I, V, P = (m.hidden_size, m.intermediate_size, m.vocab_size,
+                  m.max_position_embeddings)
+    rng = np.random.default_rng(2)
+    sd = _embeddings(rng, "embeddings", H, V, P, T=1)  # ONE token-type row
+    sd.update(_bert_layer(rng, "encoder.layer.0", H, I))
+    path = str(tmp_path / "xlm_roberta_base.bin")
+    torch.save(sd, path)
+
+    loaded = load_pretrain_init(path, agent="hamt")
+    new_params, transferred, _ = init_finetune_from_pretrain(
+        state.params, loaded["params"])
+    assert transferred > 0
+    tt = np.asarray(new_params["params"]["embeddings"]
+                    ["token_type_embeddings"]["embedding"])
+    assert tt.shape[0] == 2
+    np.testing.assert_array_equal(tt[0], tt[1])
+    np.testing.assert_allclose(
+        tt[0], sd["embeddings.token_type_embeddings.weight"][0].numpy(),
+        rtol=1e-6, atol=1e-6)

@@ -205,6 +205,13 @@ def load_pretrain_init(path: str, agent: str = "hamt",
     if source == "auto":
         source = ("lxmert" if any("encoder.x_layers" in k for k in sd)
                   else "bert")
+    # xlm-roberta-base (RxR recipe) ships ONE token-type row; the second row
+    # is for image embeddings — duplicate exactly as train_r2r.py:115-118
+    tt = next((k for k in sd if k.endswith(
+        "embeddings.token_type_embeddings.weight")), None)
+    if tt is not None and sd[tt].shape[0] == 1:
+        sd = dict(sd)
+        sd[tt] = torch.cat([sd[tt]] * 2, 0)
     if source == "lxmert":
         assert agent == "duet", "LXMERT init is the DUET recipe"
         sd = C.lxmert_remap(sd)
