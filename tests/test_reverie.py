@@ -18,7 +18,7 @@ from vln_imagine_tpu.train.trainer_duet import DuetTrainer
 def setup():
     cfg = _replace(tiny_test_config("duet"), "model", obj_feat_size=32)
     cfg = dataclasses.replace(cfg, dataset="reverie")
-    world_np, _ = synthetic_world(
+    world_np, graphs = synthetic_world(
         num_scans=1, num_nodes=16, max_candidates=cfg.env.max_candidates,
         views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=5,
         max_objects=3, obj_feat_dim=32)
@@ -30,11 +30,11 @@ def setup():
         seed=6)
     world = jax.tree.map(jnp.asarray, world_np)
     ep = jax.tree.map(jnp.asarray, ep_np)
-    return cfg, world_np, world, ep
+    return cfg, world_np, world, ep, graphs
 
 
 def test_observation_includes_object_tokens(setup):
-    cfg, world_np, world, ep = setup
+    cfg, world_np, world, ep = setup[:4]
     state = envx.reset(world, ep, cfg.env.max_action_len)
     obs = envx.observe_duet(world, ep, state, cfg.model.angle_feat_size)
     K, V, Ko = world.max_candidates, world.views, world.max_objects
@@ -55,7 +55,7 @@ def test_observation_includes_object_tokens(setup):
 
 @pytest.mark.slow
 def test_reverie_rollout_grounds_objects(setup):
-    cfg, world_np, world, ep = setup
+    cfg, world_np, world, ep = setup[:4]
     trainer = DuetTrainer(cfg, world)
     state = trainer.init_state(ep)
     res = rollout_duet(trainer.model, state.params, world, ep, cfg,
@@ -74,7 +74,7 @@ def test_reverie_rollout_grounds_objects(setup):
 
 @pytest.mark.slow
 def test_reverie_train_step(setup):
-    cfg, _, world, ep = setup
+    cfg, _, world, ep, _ = setup
     trainer = DuetTrainer(cfg, world)
     state = trainer.init_state(ep)
     step = trainer.make_train_step()
@@ -92,7 +92,7 @@ def hamt_setup():
     cfg = _replace(tiny_test_config("hamt"), "model", obj_feat_size=32,
                    imagine_enc_pano=False, use_cosine_aux_loss=False)
     cfg = dataclasses.replace(cfg, dataset="reverie")
-    world_np, _ = synthetic_world(
+    world_np, graphs = synthetic_world(
         num_scans=1, num_nodes=16, max_candidates=cfg.env.max_candidates,
         views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=5,
         max_objects=3, obj_feat_dim=32)
@@ -104,11 +104,11 @@ def hamt_setup():
         seed=6)
     world = jax.tree.map(jnp.asarray, world_np)
     ep = jax.tree.map(jnp.asarray, ep_np)
-    return cfg, world_np, world, ep
+    return cfg, world_np, world, ep, graphs
 
 
 def test_hamt_observation_has_object_segment(hamt_setup):
-    cfg, world_np, world, ep = hamt_setup
+    cfg, world_np, world, ep = hamt_setup[:4]
     state = envx.reset(world, ep, cfg.env.max_action_len)
     obs = envx.observe_hamt(world, ep, state, cfg.model.angle_feat_size)
     assert obs.obj_img is not None
@@ -123,7 +123,7 @@ def test_hamt_reverie_rollout_grounds_objects(hamt_setup):
     from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
     from vln_imagine_tpu.train.trainer import HamtTrainer
 
-    cfg, world_np, world, ep = hamt_setup
+    cfg, world_np, world, ep = hamt_setup[:4]
     trainer = HamtTrainer(cfg, world)
     state = trainer.init_state(ep)
     res = rollout_hamt(trainer.model, trainer.critic, state.params, None,
@@ -145,7 +145,7 @@ def test_hamt_reverie_rollout_grounds_objects(hamt_setup):
 def test_hamt_reverie_train_step(hamt_setup):
     from vln_imagine_tpu.train.trainer import HamtTrainer
 
-    cfg, _, world, ep = hamt_setup
+    cfg, _, world, ep, _ = hamt_setup
     trainer = HamtTrainer(cfg, world)
     state = trainer.init_state(ep)
     step = trainer.make_train_step("sample", donate=False)
@@ -159,13 +159,23 @@ def test_driver_validation_scores_grounding(hamt_setup, tmp_path):
     pred_obj and the object variant scoring (RGS/RGSPL) is applied."""
     from vln_imagine_tpu.driver import FinetuneDriver, SplitData
 
-    cfg, world_np, world, ep = hamt_setup
+    cfg, world_np, world, ep = hamt_setup[:4]
     split = SplitData("val_unseen", ep, [f"i{k}" for k in range(ep.batch)])
-    d = FinetuneDriver(cfg, world, split, [split], str(tmp_path))
+    d = FinetuneDriver(cfg, world, split, [split], str(tmp_path),
+                       graphs=hamt_setup[4])
     d.setup()
-    score = d.validate(split)
+    score = d.validate(split, write_outputs=True)
     assert {"rgs", "rgspl", "sr", "spl"} <= set(score)
     assert all(np.isfinite(v) for v in score.values())
+    # the submission carries the reference's predObjId field
+    # (reverie/agent.py:24: str(objId), str(None) when nothing grounded)
+    import json, os
+    sub = json.load(open(os.path.join(str(tmp_path),
+                                      "submit_val_unseen.json")))
+    assert len(sub) == ep.batch
+    for item in sub:
+        assert "predObjId" in item and isinstance(item["predObjId"], str)
+        assert "trajectory" in item
 
 
 def test_reverie_config_presets():

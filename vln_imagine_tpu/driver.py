@@ -364,11 +364,14 @@ class FinetuneDriver:
             if self.graphs is not None:
                 headings = np.asarray(split.episodes.start_heading)[kept_idx]
                 prefix = "detail" if details else "submit"  # main_nav.py:384
+                is_obj = (extra and
+                          split.episodes.gt_obj_id is not None)
                 write_submission(
                     os.path.join(self.log_dir,
                                  f"{prefix}_{split.name}.json"),
                     self.graphs, np.asarray(scans), paths, kept_ids, headings,
-                    details=details or None)
+                    details=details or None,
+                    pred_obj_ids=extra if is_obj else None)
         return avg
 
     def _eval_object_split(self, split, scans, paths, gts, kept_ids,

@@ -36,10 +36,13 @@ def trajectory_with_poses(graph: ScanGraph, node_path: list[int],
 def write_submission(path: str, graphs: list[ScanGraph],
                      scans: np.ndarray, node_paths: list[list[int]],
                      instr_ids: list, start_headings: np.ndarray,
-                     details: list[dict] | None = None):
+                     details: list[dict] | None = None,
+                     pred_obj_ids: list | None = None):
     """details (--detailed_output, agent.py:597-601 / agent_base.py:27-33):
     per item a {node_index: stop_logit} map, emitted per viewpoint id as
-    {'stop_prob': float}."""
+    {'stop_prob': float}.  pred_obj_ids (REVERIE/SOON): the grounded object
+    id per item, emitted as the reference's 'predObjId' string field
+    (reverie/agent.py:24,193 — str(None) when nothing was grounded)."""
     preds = []
     for i, p in enumerate(node_paths):
         g = graphs[int(scans[i])]
@@ -52,6 +55,10 @@ def write_submission(path: str, graphs: list[ScanGraph],
             preds[-1]["details"] = {
                 g.node_ids[n]: {"stop_prob": s}
                 for n, s in details[i].items()}
+        if pred_obj_ids is not None:
+            o = pred_obj_ids[i]
+            preds[-1]["predObjId"] = str(None) if o is None or o < 0 \
+                else str(int(o))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "w") as f:
         json.dump(preds, f)
