@@ -240,3 +240,26 @@ def test_validation_pipelining_matches_synchronous(driver, monkeypatch):
     driver._rng = jax.random.PRNGKey(77)
     pipe = driver.validate(driver.val_splits[0])
     assert sync == pipe
+
+
+def test_nan_loss_triggers_rollback(driver, monkeypatch):
+    """A non-finite interval loss is treated as an interval failure: the
+    numerical-health guard raises and the driver rolls back to latest_dict
+    instead of training on poisoned parameters."""
+    calls = {"n": 0}
+    orig = driver.train_interval
+
+    def poisoned(n_iters):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            out = dict(orig(n_iters))
+            out["loss"] = float("nan")
+            return out
+        return orig(n_iters)
+
+    monkeypatch.setattr(driver, "train_interval", poisoned)
+    driver.run(iters=4, log_every=2, max_failures=2)
+    assert calls["n"] >= 2
+    with open(os.path.join(driver.log_dir, "train.txt")) as f:
+        log = f.read()
+    assert "non-finite training metrics" in log

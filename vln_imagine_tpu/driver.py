@@ -423,6 +423,16 @@ class FinetuneDriver:
                         train_metrics = self.train_interval(interval)
                 else:
                     train_metrics = self.train_interval(interval)
+                # numerical-health guard: a NaN/inf interval loss would not
+                # raise on its own — once params are poisoned every later
+                # step is garbage, so treat it as an interval failure and
+                # take the same rollback path (checked once per interval at
+                # the existing host sync; no per-step device syncs added)
+                bad = {k: v for k, v in train_metrics.items()
+                       if not np.isfinite(v)}
+                if bad:
+                    raise FloatingPointError(
+                        f"non-finite training metrics {bad}")
                 failures = 0
             except Exception as e:  # noqa: BLE001 - deliberate recovery scope
                 failures += 1
