@@ -150,9 +150,14 @@ def test_prefetch_batcher_matches_synchronous(tmp_path):
     pref = PrefetchTrajectoryBatcher(world_np, ep, bank, **kw)
     assert pref.w["feat"] is None  # features only reachable via the bank
 
-    for step, task in enumerate(["mlm", "sap", "mrc", "itm", "sprel", "sar"]):
-        a = sync.task_batch(task, 3)
-        b = pref.task_batch(task, 3)
+    # batch SIZES change mid-stream, like init_state()'s size-2 probes
+    # followed by full-size training batches — identity must survive the
+    # prefetcher's pre-drawn batch being pushed back and redrawn
+    plan = [("mlm", 2), ("sap", 2), ("mlm", 3), ("sap", 3), ("mrc", 3),
+            ("itm", 5), ("sprel", 3), ("sar", 2), ("mlm", 4)]
+    for task, bs in plan:
+        a = sync.task_batch(task, bs)
+        b = pref.task_batch(task, bs)
         # a gather for the NEXT batch is in flight/ready before this batch
         # is consumed — the overlap window for the device step
         assert pref._pending is not None
@@ -195,9 +200,10 @@ def test_duet_prefetch_batcher_matches_synchronous(tmp_path):
     pref = PrefetchDuetTrajectoryBatcher(world_np, ep, bank, **kw)
     assert pref.w["feat"] is None  # features only reachable via the bank
 
-    for task in ["mlm", "sap", "mrc", "mlm", "sap", "mrc"]:
-        a = sync.task_batch(task, 3)
-        b = pref.task_batch(task, 3)
+    for task, bs in [("mlm", 2), ("sap", 2), ("mrc", 2), ("mlm", 3),
+                     ("sap", 4), ("mrc", 3)]:
+        a = sync.task_batch(task, bs)
+        b = pref.task_batch(task, bs)
         assert pref._pending is not None  # next gather already in flight
         assert set(a) == set(b), (task, set(a) ^ set(b))
         for k in a:

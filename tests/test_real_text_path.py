@@ -119,6 +119,16 @@ def test_wordpiece_matches_genuine_bert_tokenizer(tmp_path):
         "walk\tpast\nthe    entrances .",
         "don''t don't",
         "zzz unknownword don'",
+        # CJK ideographs isolate to single [UNK] tokens; control chars are
+        # deleted (merging words); NBSP/ideographic space are whitespace;
+        # Zl line separator splits (str.split semantics); Cf zero-width
+        # chars delete
+        "走到门口 walk past 门 the",
+        "walk\x1cto\x7fthe",
+        "walk\xa0to\u3000the",
+        "walk\u2028to",
+        "walk\ufeffto \x00the\ufffd.",
+        "ｗａｌｋ ｔｏ",
     ]
     for c in cases:
         assert mine.tokenize(c) == ref.tokenize(c), c

@@ -60,32 +60,53 @@ class BertWordPieceTokenizer:
             return True
         return unicodedata.category(ch).startswith("P")
 
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        # BasicTokenizer._is_chinese_char ranges: every CJK ideograph is
+        # emitted as its own token
+        return (0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+                or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+                or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+                or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F)
+
     def _basic(self, text: str) -> list[str]:
-        # BasicTokenizer(do_lower_case=True): lowercase, NFD accent
-        # stripping, drop control chars, split every punctuation char
+        # BasicTokenizer(do_lower_case=True): clean (drop \x00/� and
+        # every category-C char; whitespace is ' \t\n\r' + Zs ONLY —
+        # et al. are regular chars there), isolate CJK ideographs,
+        # lowercase, NFD accent stripping, split every punctuation char
         text = unicodedata.normalize("NFD", text.lower())
         out: list[str] = []
         word: list[str] = []
+
+        def flush():
+            if word:
+                out.append("".join(word))
+                word.clear()
+
         for ch in text:
             cat = unicodedata.category(ch)
             if cat == "Mn":  # strip accents (lowercase implies it in BERT)
                 continue
-            if ch.isspace():
-                if word:
-                    out.append("".join(word))
-                    word = []
+            if ch in " \t\n\r" or cat == "Zs":
+                flush()
                 continue
-            if ch in ("\x00", "�") or cat in ("Cc", "Cf"):
+            if ch in ("\x00", "�") or cat.startswith("C"):
+                continue  # control/format/surrogate/private-use: deleted
+            if ch.isspace():
+                # Zl/Zp separators survive HF's clean step but its
+                # whitespace_tokenize uses str.split(), which splits on them
+                flush()
+                continue
+            if self._is_cjk(ord(ch)):
+                flush()
+                out.append(ch)
                 continue
             if self._is_punct(ch):
-                if word:
-                    out.append("".join(word))
-                    word = []
+                flush()
                 out.append(ch)
                 continue
             word.append(ch)
-        if word:
-            out.append("".join(word))
+        flush()
         return out
 
     def tokenize(self, text: str) -> list[str]:

@@ -283,7 +283,10 @@ class FinetuneDriver:
         # round-trip per batch (jax dispatch is async; only the np.asarray
         # below blocks).  Window bounds queued inputs' device memory.
         from collections import deque
-        depth = max(int(os.environ.get("VLN_EVAL_PIPELINE", "16")), 1)
+        # default 4: enough to hide dispatch/host latency, bounded device
+        # memory for the queued batches (16 placed DUET batches can matter
+        # on a memory-tight chip); VLN_EVAL_PIPELINE=1 is fully synchronous
+        depth = max(int(os.environ.get("VLN_EVAL_PIPELINE", "4")), 1)
         inflight: deque = deque()
         sampler = iter(EvalSampler(n, bs))
         exhausted = False
@@ -408,6 +411,11 @@ class FinetuneDriver:
         log_every = log_every or cfg.train.log_every
         if self.state is None:
             self.setup()
+        # seed the rollback target: without it, a first-interval failure
+        # (e.g. the non-finite-loss guard firing before any save) would
+        # "roll back" to nothing and keep training the poisoned in-memory
+        # state for max_failures more intervals
+        self.ckpt.save_latest(self.state)
         start = time.time()
         failures = 0
         # profiling: VLN_PROFILE_DIR=<dir> captures an XLA/TPU trace of the

@@ -283,7 +283,8 @@ class TrajectoryBatcher:
 
     def task_batch(self, task: str, batch_size: int, idxs=None):
         if idxs is None:
-            idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
+            idxs = draw_batch_indices(self.idx_rng, self.ep.batch,
+                                      batch_size)
         if task == "mlm":
             return self.mlm_batch(idxs)
         if task == "mrc":
@@ -357,6 +358,17 @@ class E2EImageBatcher(TrajectoryBatcher):
         return batch
 
 
+def draw_batch_indices(rng, n: int, batch_size: int) -> np.ndarray:
+    """Batch indexes drawn ONE SCALAR AT A TIME: the idx stream is a flat
+    sequence independent of batch grouping, so a pipelined consumer that
+    pre-draws the next batch (and pushes indexes back on a batch-size
+    change) consumes the exact same stream as the synchronous batcher for
+    ANY sequence of batch sizes — e.g. init_state()'s size-2 probes
+    followed by full-size training batches."""
+    return np.asarray([int(rng.integers(0, n)) for _ in range(batch_size)],
+                      np.int64)
+
+
 class BankPrefetchMixin:
     """Prefetch engine shared by the HAMT and DUET pre-training batchers:
     panorama features are served from a native mmap FeatureBank through the
@@ -382,13 +394,22 @@ class BankPrefetchMixin:
         self.w["feat"] = None  # all feature reads go through the bank
         self._pending = None   # (idxs, row_ids) of the submitted gather
         self._row_cache: dict[int, np.ndarray] = {}
+        self._idx_buf: list[int] = []  # pre-drawn idx stream (see _submit)
 
     def _feat(self, scan, node) -> np.ndarray:
         rid = int(scan) * self.N + int(node)
         return self._row_cache[rid].reshape(self.views, self.Df)
 
+    def _next_idxs(self, k: int) -> np.ndarray:
+        while len(self._idx_buf) < k:
+            self._idx_buf.append(int(self.idx_rng.integers(0,
+                                                           self.ep.batch)))
+        out = np.asarray(self._idx_buf[:k], np.int64)
+        del self._idx_buf[:k]
+        return out
+
     def _submit(self, batch_size: int):
-        idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
+        idxs = self._next_idxs(batch_size)
         # the full path covers every node any step draw can touch, so the
         # gather is valid for whichever task/steps get sampled next
         rows = sorted({int(self.scans[b]) * self.N + int(n)
@@ -401,6 +422,10 @@ class BankPrefetchMixin:
         if self._pending is None or len(self._pending[0]) != batch_size:
             if self._pending is not None:
                 self.pf.wait()  # drain a mismatched in-flight job
+                # push the pre-drawn indexes back so the stream position
+                # stays identical to the synchronous batcher's across
+                # batch-size changes (init_state probes -> training size)
+                self._idx_buf[:0] = [int(i) for i in self._pending[0]]
             self._pending = self._submit(batch_size)
         idxs, rows = self._pending
         gathered = self.pf.wait()

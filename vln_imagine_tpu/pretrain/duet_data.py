@@ -307,7 +307,9 @@ class DuetTrajectoryBatcher:
 
     def task_batch(self, task: str, batch_size: int, idxs=None):
         if idxs is None:
-            idxs = self.idx_rng.integers(0, self.ep.batch, batch_size)
+            from vln_imagine_tpu.pretrain.data import draw_batch_indices
+            idxs = draw_batch_indices(self.idx_rng, self.ep.batch,
+                                      batch_size)
         if task == "mlm":
             return self.mlm_batch(idxs)
         if task in ("mrc", "sap", "og"):
