@@ -220,11 +220,13 @@ def build_real(cfg, args):
         from vln_imagine_tpu.data.features import (
             ObjectFeatureDB, build_object_tables)
         obj_db = ObjectFeatureDB(args.obj_features, cfg.model.obj_feat_size)
-        o_feat, o_ang, o_valid, o_ids, id_of = build_object_tables(
+        o_feat, o_ang, o_valid, o_ids, o_pos, id_of = build_object_tables(
             obj_db, graphs, args.max_objects, cfg.model.obj_feat_size,
-            max_nodes=world.node_xyz.shape[1])
+            max_nodes=world.node_xyz.shape[1],
+            bbox_format="xyxy" if args.dataset == "soon" else "xywh")
         world = world.replace(obj_feat=o_feat, obj_ang=o_ang,
-                              obj_valid=o_valid, obj_ids=o_ids)
+                              obj_valid=o_valid, obj_ids=o_ids,
+                              obj_pos=o_pos)
 
         def obj_id_fn(raw):
             try:

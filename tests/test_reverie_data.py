@@ -75,9 +75,13 @@ def test_object_feature_db_and_tables(fixture_data):
     fts0, _ = db.load_feature("sc", g.node_ids[1])
     assert fts0.shape == (0, OBJ_DIM)
 
-    o_feat, o_ang, o_valid, o_ids, id_of = build_object_tables(
+    o_feat, o_ang, o_valid, o_ids, o_pos, id_of = build_object_tables(
         db, [g], max_objects=4, obj_feat_dim=OBJ_DIM)
     assert o_feat.shape == (1, 12, 4, OBJ_DIM)
+    # 5-d normalized bbox positions (x1,y1,x2,y2,area), valid rows only
+    assert o_pos.shape == (1, 12, 4, 5)
+    assert np.all(o_pos[0, 5, :2] >= 0) and np.all(o_pos[0, 5, :2] <= 1.0)
+    assert np.all(o_pos[~o_valid] == 0)
     assert o_valid[0, 5].sum() == 2
     assert set(o_ids[0, 5][o_valid[0, 5]]) == {101, 202}
     assert o_valid[0, 1].sum() == 0
@@ -109,10 +113,11 @@ def test_reverie_validate_round_trip(fixture_data):
     feat = rng.standard_normal(
         (S, N, cfg.env.views, cfg.model.image_feat_size)).astype(np.float32)
     db = ObjectFeatureDB(obj_file, OBJ_DIM)
-    o_feat, o_ang, o_valid, o_ids, id_of = build_object_tables(
+    o_feat, o_ang, o_valid, o_ids, o_pos, id_of = build_object_tables(
         db, [g], max_objects=4, obj_feat_dim=OBJ_DIM, max_nodes=N)
     world_np = world_np.replace(feat=feat, obj_feat=o_feat, obj_ang=o_ang,
-                                obj_valid=o_valid, obj_ids=o_ids)
+                                obj_valid=o_valid, obj_ids=o_ids,
+                                obj_pos=o_pos)
     tables = jax.tree.map(jnp.asarray, world_np)
 
     # REVERIE-style annotation items: path ends where the object is visible

@@ -170,11 +170,25 @@ def hamt_torch_to_flax_path(key: str) -> str | None:
     if m:
         return f"image_proj/fc{m.group(1)}/weight"
 
-    for rule in _seq_rules("next_action", "next_action",
-                           {0: "dense0", 2: "LayerNorm/ln", 4: "dense1"}):
-        mm = re.match("^" + rule[0], key)
-        if mm:
-            return re.sub(rule[0], rule[1], key)
+    for head in ("next_action", "ref_object"):
+        for rule in _seq_rules(head, head,
+                               {0: "dense0", 2: "LayerNorm/ln", 4: "dense1"}):
+            mm = re.match("^" + rule[0], key)
+            if mm:
+                return re.sub(rule[0], rule[1], key)
+
+    # NavRefCMT object segment (vlnbert_navref.py:11-41)
+    m = re.match(r"^obj_embeddings\.(img|ang|pos)_linear\.(weight|bias)$",
+                 key)
+    if m:
+        return f"obj_embeddings/{m.group(1)}_linear/{m.group(2)}"
+    m = re.match(r"^obj_embeddings\.(img|ang|pos)_layer_norm"
+                 r"\.(weight|bias)$", key)
+    if m:
+        return f"obj_embeddings/{m.group(1)}_layer_norm/ln/{m.group(2)}"
+    m = re.match(r"^obj_embeddings\.layer_norm\.(weight|bias)$", key)
+    if m:
+        return f"obj_embeddings/layer_norm/ln/{m.group(1)}"
 
     if key in ("pooler.dense.weight", "pooler.dense.bias"):
         return None  # BertPooler exists in BERT inits but is unused

@@ -169,11 +169,18 @@ def load_obj2vps(bbox_file: str) -> dict[str, list[str]]:
 
 def build_object_tables(
     db: ObjectFeatureDB, graphs, max_objects: int, obj_feat_dim: int,
-    max_nodes: int | None = None,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, dict[str, int]]:
+    max_nodes: int | None = None, bbox_format: str = "xywh",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+           dict[str, int]]:
     """Compile per-(scan, viewpoint) object stores into dense WorldTables
     arrays: (obj_feat [S,N,Ko,D], obj_ang [S,N,Ko,2] absolute heading/elev,
-    obj_valid [S,N,Ko], obj_ids [S,N,Ko] i32, id_of str->i32).
+    obj_valid [S,N,Ko], obj_ids [S,N,Ko] i32, obj_pos [S,N,Ko,5] normalized
+    (x1,y1,x2,y2,area) bbox positions — get_obj_local_pos,
+    reverie/data_utils.py:25-31 — and id_of str->i32).
+
+    bbox_format: the 'bboxes' attr convention — 'xywh' (HAMT REVERIE) or
+    'xyxy' (SOON).  'sizes'-only stores (DUET REVERIE) get x1=y1=0 with the
+    w/h extent, which the DUET stack never reads (it uses box_features).
 
     An object's table visibility (which nodes carry its tokens) equals the
     reference's obj2vps map: the HDF5 stores an entry exactly at the
@@ -184,7 +191,27 @@ def build_object_tables(
     obj_ang = np.zeros((S, N, max_objects, 2), np.float32)
     obj_valid = np.zeros((S, N, max_objects), bool)
     obj_ids = np.zeros((S, N, max_objects), np.int32)
+    obj_pos = np.zeros((S, N, max_objects, 5), np.float32)
     id_of: dict[str, int] = {}
+
+    def pos5(attrs, k: int) -> np.ndarray:
+        W, H = 640.0, 480.0
+        if "bboxes" in attrs:
+            bb = np.asarray(attrs["bboxes"], np.float32).reshape(-1, 4)[:k]
+            if bbox_format == "xywh":
+                x1, y1 = bb[:, 0], bb[:, 1]
+                x2, y2 = x1 + bb[:, 2], y1 + bb[:, 3]
+            else:  # xyxy (SOON)
+                x1, y1, x2, y2 = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        elif "sizes" in attrs:
+            wh = np.asarray(attrs["sizes"], np.float32).reshape(-1, 2)[:k]
+            x1 = y1 = np.zeros(len(wh), np.float32)
+            x2, y2 = wh[:, 0], wh[:, 1]
+        else:
+            return np.zeros((k, 5), np.float32)
+        return np.stack([x1 / W, y1 / H, x2 / W, y2 / H,
+                         (x2 - x1) * (y2 - y1) / (W * H)],
+                        -1).astype(np.float32)
 
     def intern(raw) -> int:
         s = raw.decode() if isinstance(raw, bytes) else str(raw)
@@ -207,13 +234,14 @@ def build_object_tables(
             if "directions" in attrs:
                 obj_ang[s, n, :k] = np.asarray(
                     attrs["directions"], np.float32).reshape(-1, 2)[:k]
+            obj_pos[s, n, :k] = pos5(attrs, k)
             obj_valid[s, n, :k] = True
             for j, oid in enumerate(np.asarray(attrs.get(
                     "obj_ids", np.arange(k)))[:k]):
                 v = intern(oid)
                 obj_ids[s, n, j] = v
                 id_of.setdefault(str(v), v)
-    return obj_feat, obj_ang, obj_valid, obj_ids, id_of
+    return obj_feat, obj_ang, obj_valid, obj_ids, obj_pos, id_of
 
 
 class RawImaginationImageBank:

@@ -49,6 +49,7 @@ class HamtObs(NamedTuple):
     obj_ang: Optional[jnp.ndarray] = None    # [B, Ko, A]
     obj_ids: Optional[jnp.ndarray] = None    # [B, Ko] i32
     obj_valid: Optional[jnp.ndarray] = None  # [B, Ko] bool
+    obj_pos: Optional[jnp.ndarray] = None    # [B, Ko, 5] normalized bbox
 
 
 def obs_tokens(max_candidates: int, views: int) -> int:
@@ -133,7 +134,7 @@ def observe_hamt(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
     valid = jnp.concatenate(
         [adj_valid, jnp.ones((B, 1), bool), ~used], axis=1)
 
-    obj_img = obj_ang = obj_ids = obj_valid = None
+    obj_img = obj_ang = obj_ids = obj_valid = obj_pos = None
     if tables.obj_feat is not None:
         o_feat = _gather_sn(tables.obj_feat, ep.scan, state.node)
         o_ang = _gather_sn(tables.obj_ang, ep.scan, state.node)
@@ -147,10 +148,13 @@ def observe_hamt(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
         obj_img = o_feat * obj_valid[:, :, None]
         obj_ang = angle_feature(o_ang[..., 0] - base_h, o_ang[..., 1],
                                 angle_feat_size)
+        if tables.obj_pos is not None:
+            obj_pos = _gather_sn(tables.obj_pos, ep.scan, state.node) \
+                * obj_valid[:, :, None]
     return HamtObs(img=img, ang=ang, nav_types=nav, valid=valid,
                    cand_valid=adj_valid, stop_slot=K,
                    obj_img=obj_img, obj_ang=obj_ang, obj_ids=obj_ids,
-                   obj_valid=obj_valid)
+                   obj_valid=obj_valid, obj_pos=obj_pos)
 
 
 def history_inputs(tables: WorldTables, ep: EpisodeBatch, state: EnvState,

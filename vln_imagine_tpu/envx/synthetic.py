@@ -91,8 +91,16 @@ def synthetic_world(
         obj_valid = np.arange(max_objects)[None, None, :] < n_obj[:, :, None]
         obj_ids = rng.integers(0, 10_000, (S, N, max_objects)).astype(np.int32)
         obj_valid &= np.asarray(world.node_valid)[:, :, None]
+        # normalized bbox positions (x1,y1,x2,y2,area in [0,1])
+        x1 = rng.uniform(0, 0.8, (S, N, max_objects))
+        y1 = rng.uniform(0, 0.8, (S, N, max_objects))
+        w = rng.uniform(0.05, 0.2, (S, N, max_objects))
+        h = rng.uniform(0.05, 0.2, (S, N, max_objects))
+        obj_pos = np.stack([x1, y1, x1 + w, y1 + h, w * h],
+                           -1).astype(np.float32)
         world = world.replace(obj_feat=obj_feat, obj_ang=obj_ang,
-                              obj_valid=obj_valid, obj_ids=obj_ids)
+                              obj_valid=obj_valid, obj_ids=obj_ids,
+                              obj_pos=obj_pos)
     return world, graphs
 
 

@@ -43,6 +43,8 @@ class WorldTables:
     obj_ang: Optional[jnp.ndarray] = None    # [S, N, Ko, 2] heading/elev
     obj_valid: Optional[jnp.ndarray] = None  # [S, N, Ko] bool
     obj_ids: Optional[jnp.ndarray] = None    # [S, N, Ko] i32 dataset obj id
+    obj_pos: Optional[jnp.ndarray] = None    # [S, N, Ko, 5] normalized bbox
+    # (x1,y1,x2,y2,area — get_obj_local_pos, reverie/data_utils.py:25-31)
 
     @property
     def max_objects(self) -> int:

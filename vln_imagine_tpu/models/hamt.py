@@ -41,26 +41,65 @@ from vln_imagine_tpu.ops.masks import extend_neg_mask, mask_logits
 
 class ImageEmbeddings(nn.Module):
     """img/angle linear+LN + nav-type + token-type -> LN -> dropout
-    (vilmodel_cmt.py:521-544)."""
+    (vilmodel_cmt.py:521-544).  Setup-style so the nav-type table can be
+    shared with the object segment (NavRefCMT feeds objects the IMAGE
+    module's nav_type_embedding, vlnbert_navref.py:127-130)."""
 
     config: ModelConfig
 
-    @nn.compact
-    def __call__(self, img_feat, ang_feat, type_embeddings, nav_types=None,
-                 deterministic=True):
+    def setup(self):
         cfg = self.config
         dt = _dtype(cfg)
-        im = LayerNorm12(name="img_layer_norm")(
-            nn.Dense(cfg.hidden_size, dtype=dt, name="img_linear")(img_feat))
-        an = LayerNorm12(name="ang_layer_norm")(
-            nn.Dense(cfg.hidden_size, dtype=dt, name="ang_linear")(ang_feat))
-        x = im + an + type_embeddings
+        self.img_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+        self.img_layer_norm = LayerNorm12()
+        self.ang_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+        self.ang_layer_norm = LayerNorm12()
+        self.nav_type_embedding = nn.Embed(3, cfg.hidden_size, dtype=dt)
+        self.layer_norm = LayerNorm12()
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def embed_nav_types(self, nav_types):
+        return self.nav_type_embedding(nav_types)
+
+    def __call__(self, img_feat, ang_feat, type_embeddings, nav_types=None,
+                 deterministic=True):
+        x = self.img_layer_norm(self.img_linear(img_feat)) \
+            + self.ang_layer_norm(self.ang_linear(ang_feat)) \
+            + type_embeddings
         if nav_types is not None:
-            x = x + nn.Embed(3, cfg.hidden_size, dtype=dt,
-                             name="nav_type_embedding")(nav_types)
-        x = LayerNorm12(name="layer_norm")(x)
-        return nn.Dropout(cfg.hidden_dropout_prob,
-                          deterministic=deterministic)(x)
+            x = x + self.nav_type_embedding(nav_types)
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic=deterministic)
+
+
+class ObjectEmbeddings(nn.Module):
+    """REVERIE object tokens (NavRefCMT ObjectEmbeddings,
+    vlnbert_navref.py:11-41): img/ang/5-d-bbox-pos linear+LN branches plus
+    the SHARED image nav-type embedding (type 2) and token-type embedding,
+    final LN -> dropout."""
+
+    config: ModelConfig
+
+    def setup(self):
+        cfg = self.config
+        dt = _dtype(cfg)
+        self.img_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+        self.img_layer_norm = LayerNorm12()
+        self.ang_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+        self.ang_layer_norm = LayerNorm12()
+        self.pos_linear = nn.Dense(cfg.hidden_size, dtype=dt)
+        self.pos_layer_norm = LayerNorm12()
+        self.layer_norm = LayerNorm12()
+        self.dropout = nn.Dropout(cfg.hidden_dropout_prob)
+
+    def __call__(self, obj_feat, obj_ang, obj_pos, type_embeddings,
+                 nav_type_embeddings, deterministic=True):
+        x = self.img_layer_norm(self.img_linear(obj_feat)) \
+            + self.ang_layer_norm(self.ang_linear(obj_ang)) \
+            + self.pos_layer_norm(self.pos_linear(obj_pos)) \
+            + nav_type_embeddings + type_embeddings
+        x = self.layer_norm(x)
+        return self.dropout(x, deterministic=deterministic)
 
 
 class HistoryEmbeddings(nn.Module):
@@ -261,11 +300,11 @@ class HamtModel(nn.Module):
             for i in range(cfg.num_x_layers)]
         self.next_action = NextActionPrediction(cfg)
         if cfg.obj_feat_size > 0:
-            # REVERIE object segment (NavRefCMT: ObjEmbeddings
-            # vlnbert_navref.py:17-42 + ref_object head :56,153; the bbox
-            # pos feature is folded into the angle features — the compiled
-            # object tables carry heading/elevation only)
-            self.obj_embeddings = ImageEmbeddings(cfg)
+            # REVERIE object segment (NavRefCMT: ObjectEmbeddings
+            # vlnbert_navref.py:11-41 + ref_object head :56,153) incl. the
+            # 5-d normalized bbox position branch (get_obj_local_pos,
+            # reverie/data_utils.py:25-31)
+            self.obj_embeddings = ObjectEmbeddings(cfg)
             self.ref_object = NextActionPrediction(cfg)
         self.drop_env = nn.Dropout(self.feat_dropout)
 
@@ -363,7 +402,7 @@ class HamtModel(nn.Module):
                ob_img_feats, ob_ang_feats, ob_nav_types, ob_valid,
                imagine_embeds=None, imagine_mask=None,
                obj_img_feats=None, obj_ang_feats=None, obj_valid=None,
-               deterministic=True):
+               obj_pos_feats=None, deterministic=True):
         """Per-step cross-modal encoding + action logits
         (vilmodel_cmt.py:1056-1205).  With object inputs (REVERIE,
         vlnbert_navref.py:90-155) the visual stream is [hist; obs; obj] and
@@ -400,9 +439,15 @@ class HamtModel(nn.Module):
                                           deterministic=deterministic)
             obj_type = self.embeddings.token_type_embedding(
                 jnp.ones((B, Ko), jnp.int32))
+            if obj_pos_feats is None:  # tables without bbox positions
+                obj_pos_feats = jnp.zeros((B, Ko, 5), obj_img_feats.dtype)
+            # objects carry the STOP nav type from the IMAGE module's
+            # shared embedding table (vlnbert_navref.py:127-130)
+            obj_nav = self.img_embeddings.embed_nav_types(
+                jnp.full((B, Ko), 2, jnp.int32))
             obj_embeds = self.obj_embeddings(
-                obj_img_feats, obj_ang_feats, obj_type,
-                jnp.full((B, Ko), 2, jnp.int32), deterministic)
+                obj_img_feats, obj_ang_feats, obj_pos_feats, obj_type,
+                obj_nav, deterministic)
             visn = jnp.concatenate([visn, obj_embeds], axis=1)
             visn_mask = jnp.concatenate(
                 [visn_mask, extend_neg_mask(obj_valid)], axis=-1)
@@ -433,7 +478,12 @@ class HamtModel(nn.Module):
             cfg.imagine_enc_pano and cfg.concat_imagine_with == "language"
         ) else (imagine_embeds if imagine_embeds is not None else None)
 
-        if no_ca:
+        if no_ca and Ko:
+            # NavRefCMT hardcodes next_action(ob * hist[CLS]) regardless of
+            # flags (vlnbert_navref.py:150); the released REVERIE recipe
+            # runs it with --no_lang_ca (run_reverie.sh:27)
+            head_in = ob_out * hist_out[:, :1]
+        elif no_ca:
             head_in = ob_out  # (:1187-1188)
         elif cfg.act_pred_token == "ob_txt":
             head_in = ob_out * txt_out[:, :1]

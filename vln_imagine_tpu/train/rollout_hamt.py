@@ -128,6 +128,13 @@ def rollout_hamt(
     # ---- per-episode prologue (once; agent_cmt.py:392-496) -----------------
     txt_embeds = apply(HamtModel.language, ep.txt_ids, ep.txt_mask,
                        rngs_key=r_lang)
+    if use_obj and mcfg.no_lang_ca:
+        # NavRefCMT semantics (vlnbert_navref.py:66-80,143): its language
+        # mode returns only the FINAL layer output (stack entry 0 here),
+        # and with no_lang_ca the text never updates through the x-layers —
+        # so every per-layer slot of the no_lang_ca text stack is that same
+        # final output (no per-layer lang self-att branches)
+        txt_embeds = jnp.broadcast_to(txt_embeds[:1], txt_embeds.shape)
     aux_loss = jnp.asarray(0.0)
     imagine_embeds = None
     if mcfg.imagine_enc_pano:
@@ -174,7 +181,8 @@ def rollout_hamt(
         obj_kw = {}
         if use_obj:
             obj_kw = dict(obj_img_feats=obs.obj_img,
-                          obj_ang_feats=obs.obj_ang, obj_valid=obs.obj_valid)
+                          obj_ang_feats=obs.obj_ang, obj_valid=obs.obj_valid,
+                          obj_pos_feats=obs.obj_pos)
         h_mask = jnp.arange(T + 1)[None, :] < h_len[:, None]
         out = apply(HamtModel.visual, txt_embeds, ep.txt_mask, h_buf, h_mask,
                     obs.img, obs.ang, obs.nav_types, obs.valid,
