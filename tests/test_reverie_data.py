@@ -78,9 +78,14 @@ def test_object_feature_db_and_tables(fixture_data):
     o_feat, o_ang, o_valid, o_ids, o_pos, id_of = build_object_tables(
         db, [g], max_objects=4, obj_feat_dim=OBJ_DIM)
     assert o_feat.shape == (1, 12, 4, OBJ_DIM)
-    # 5-d normalized bbox positions (x1,y1,x2,y2,area), valid rows only
+    # 5-d normalized bbox positions (x1,y1,x2,y2,area), valid rows only.
+    # The fixture is a DUET-format 'sizes' store ([320, 240] extents):
+    # x1=y1=0 degenerate corners, x2=320/640, y2=240/480, area=x2*y2
     assert o_pos.shape == (1, 12, 4, 5)
-    assert np.all(o_pos[0, 5, :2] >= 0) and np.all(o_pos[0, 5, :2] <= 1.0)
+    want_row = np.asarray([0.0, 0.0, 320 / 640, 240 / 480,
+                           (320 * 240) / (640 * 480)], np.float32)
+    for j in range(int(o_valid[0, 5].sum())):
+        np.testing.assert_allclose(o_pos[0, 5, j], want_row, rtol=1e-6)
     assert np.all(o_pos[~o_valid] == 0)
     assert o_valid[0, 5].sum() == 2
     assert set(o_ids[0, 5][o_valid[0, 5]]) == {101, 202}
@@ -144,3 +149,36 @@ def test_reverie_validate_round_trip(fixture_data):
     score = drv.validate(split)
     assert "rgs" in score and "rgspl" in score
     assert 0.0 <= score["rgs"] <= 100.0
+
+
+def test_hamt_format_object_store(tmp_path, fixture_data):
+    """The HAMT REVERIE store (load_obj_database format,
+    reverie/data_utils.py:33-43: obj_ids/bboxes(xywh)/viewindexs, no
+    directions/sizes): angles derive from the discretized viewindex
+    (reverie/env.py:189-193) and positions from get_obj_local_pos
+    (data_utils.py:25-31)."""
+    g = fixture_data[0]
+    path = str(tmp_path / "hamt_obj.h5")
+    vp = g.node_ids[5]
+    with h5py.File(path, "w") as f:
+        d = f.create_dataset(f"sc_{vp}",
+                             data=np.ones((2, OBJ_DIM), np.float32))
+        d.attrs["obj_ids"] = np.asarray([b"7", b"9"])
+        d.attrs["bboxes"] = np.asarray([[64, 48, 128, 96],
+                                        [320, 240, 64, 48]], np.float32)
+        d.attrs["viewindexs"] = np.asarray([14, 25], np.int64)
+    db = ObjectFeatureDB(path, OBJ_DIM)
+    o_feat, o_ang, o_valid, o_ids, o_pos, _ = build_object_tables(
+        db, [g], max_objects=3, obj_feat_dim=OBJ_DIM, bbox_format="xywh")
+    assert o_valid[0, 5].sum() == 2
+    # viewindex 14: heading (14%12)*30deg, elevation (14//12-1)*30deg
+    np.testing.assert_allclose(o_ang[0, 5, 0],
+                               [np.radians(60.0), 0.0], atol=1e-6)
+    np.testing.assert_allclose(o_ang[0, 5, 1],
+                               [np.radians(30.0), np.radians(30.0)],
+                               atol=1e-6)
+    # xywh -> (x1/640, y1/480, (x1+w)/640, (y1+h)/480, wh/(640*480))
+    np.testing.assert_allclose(
+        o_pos[0, 5, 0],
+        [64 / 640, 48 / 480, 192 / 640, 144 / 480,
+         128 * 96 / (640 * 480)], rtol=1e-6)

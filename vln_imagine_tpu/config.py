@@ -329,11 +329,15 @@ def reverie_config(agent: str = "duet") -> Config:
         cfg = _replace(cfg, "env", max_instr_len=200)
     else:
         cfg = hamt_r2r_config().replace(dataset="reverie")
-        # NavRefCMT hardcodes act_logits = next_action(ob * hist[CLS])
-        # (vlnbert_navref.py:150) regardless of the parser's act_pred_token
+        # released NavRef recipe (scripts/run_reverie.sh): --no_lang_ca is
+        # PASSED (text never updates through the x-layers) and
+        # --fix_lang_embedding/--fix_hist_embedding are NOT (unlike the R2R
+        # recipe, REVERIE fine-tunes both); NavRefCMT hardcodes act_logits =
+        # next_action(ob * hist[CLS]) (vlnbert_navref.py:150)
         cfg = _replace(cfg, "model", obj_feat_size=768,
                        imagine_enc_pano=False, use_cosine_aux_loss=False,
-                       act_pred_token="ob_hist")
+                       no_lang_ca=True, fix_lang_embedding=False,
+                       fix_hist_embedding=False, act_pred_token="ob_hist")
         # finetune_src/scripts/run_reverie.sh: --max_instr_len 60
         cfg = _replace(cfg, "env", max_instr_len=60)
     return cfg

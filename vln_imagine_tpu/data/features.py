@@ -125,7 +125,8 @@ class ObjectFeatureDB:
                     fts = f[key][...][:, : self.obj_feat_size].astype(
                         np.float32)
                     for ak, av in f[key].attrs.items():
-                        if ak in ("directions", "sizes", "bboxes", "obj_ids"):
+                        if ak in ("directions", "sizes", "bboxes", "obj_ids",
+                                  "viewindexs"):
                             attrs[ak] = np.asarray(av)
                 else:
                     fts = np.zeros((0, self.obj_feat_size), np.float32)
@@ -194,8 +195,13 @@ def build_object_tables(
     obj_pos = np.zeros((S, N, max_objects, 5), np.float32)
     id_of: dict[str, int] = {}
 
+    warned_sizes = []
+
     def pos5(attrs, k: int) -> np.ndarray:
-        W, H = 640.0, 480.0
+        # image planes: 640x480 for REVERIE (get_obj_local_pos,
+        # reverie/data_utils.py:25-31), 600x600 for SOON's xyxy boxes
+        # (soon/data_utils.py:112-117)
+        W, H = (600.0, 600.0) if bbox_format == "xyxy" else (640.0, 480.0)
         if "bboxes" in attrs:
             bb = np.asarray(attrs["bboxes"], np.float32).reshape(-1, 4)[:k]
             if bbox_format == "xywh":
@@ -204,6 +210,14 @@ def build_object_tables(
             else:  # xyxy (SOON)
                 x1, y1, x2, y2 = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
         elif "sizes" in attrs:
+            # DUET-format store: extent only, no corner coordinates — the
+            # x1=y1=0 degenerate positions are NOT what NavRef trained on
+            if not warned_sizes:
+                warned_sizes.append(True)
+                print("WARNING: object store has 'sizes' but no 'bboxes'; "
+                      "obj_pos gets degenerate x1=y1=0 positions — the "
+                      "HAMT NavRef stack needs the bbox-format store "
+                      "(load_obj_database, reverie/data_utils.py:33-43)")
             wh = np.asarray(attrs["sizes"], np.float32).reshape(-1, 2)[:k]
             x1 = y1 = np.zeros(len(wh), np.float32)
             x2, y2 = wh[:, 0], wh[:, 1]
@@ -234,6 +248,14 @@ def build_object_tables(
             if "directions" in attrs:
                 obj_ang[s, n, :k] = np.asarray(
                     attrs["directions"], np.float32).reshape(-1, 2)[:k]
+            elif "viewindexs" in attrs:
+                # HAMT-format store (load_obj_database,
+                # reverie/data_utils.py:33-43): the object's angle is the
+                # discretized view it sits in (reverie/env.py:189-193
+                # indexes the directional feature by viewindex)
+                vi = np.asarray(attrs["viewindexs"], np.int64).reshape(-1)[:k]
+                obj_ang[s, n, :k, 0] = (vi % 12) * np.radians(30.0)
+                obj_ang[s, n, :k, 1] = (vi // 12 - 1) * np.radians(30.0)
             obj_pos[s, n, :k] = pos5(attrs, k)
             obj_valid[s, n, :k] = True
             for j, oid in enumerate(np.asarray(attrs.get(

@@ -318,6 +318,14 @@ class HamtModel(nn.Module):
         if cfg.fix_lang_embedding:
             x = jax.lax.stop_gradient(x)
         if cfg.no_lang_ca:
+            if cfg.obj_feat_size > 0:
+                # NavRefCMT (vlnbert_navref.py:66-80,143): its language
+                # mode returns only the final layer and the text never
+                # updates through the x-layers — every stack slot is the
+                # same final output; the per-layer lang branches below
+                # would be computed and immediately discarded
+                return jnp.broadcast_to(
+                    x[None], (1 + len(self.x_layers),) + x.shape)
             # language is static during cross-modal encoding: precompute each
             # x-layer's lang self-att branch over the BASE text embedding
             # (vilmodel_cmt.py:1022-1029 — the reference intentionally does

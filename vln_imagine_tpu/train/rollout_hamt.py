@@ -128,13 +128,8 @@ def rollout_hamt(
     # ---- per-episode prologue (once; agent_cmt.py:392-496) -----------------
     txt_embeds = apply(HamtModel.language, ep.txt_ids, ep.txt_mask,
                        rngs_key=r_lang)
-    if use_obj and mcfg.no_lang_ca:
-        # NavRefCMT semantics (vlnbert_navref.py:66-80,143): its language
-        # mode returns only the FINAL layer output (stack entry 0 here),
-        # and with no_lang_ca the text never updates through the x-layers —
-        # so every per-layer slot of the no_lang_ca text stack is that same
-        # final output (no per-layer lang self-att branches)
-        txt_embeds = jnp.broadcast_to(txt_embeds[:1], txt_embeds.shape)
+    # NavRef (objects + no_lang_ca): HamtModel.language already returns the
+    # broadcast-final-output stack (vlnbert_navref.py text semantics)
     aux_loss = jnp.asarray(0.0)
     imagine_embeds = None
     if mcfg.imagine_enc_pano:
