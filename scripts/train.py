@@ -79,6 +79,17 @@ def parse_args():
     p.add_argument("--detailed-output", action="store_true",
                    help="DUET: write per-node stop logits into the "
                         "submission 'details' field (main_nav.py:384)")
+    p.add_argument("--no-lang-ca", action="store_true",
+                   help="text is not updated by cross-modal attention "
+                        "(parser.py --no_lang_ca; the released REVERIE "
+                        "recipe and NavRefCMT semantics)")
+    p.add_argument("--fix-lang-embedding", dest="fix_lang_embedding",
+                   action="store_true", default=None,
+                   help="freeze the language encoder output")
+    p.add_argument("--train-lang-embedding", dest="fix_lang_embedding",
+                   action="store_false",
+                   help="fine-tune the language encoder (overrides a "
+                        "preset's freeze)")
     p.add_argument("--no-cosine-aux-loss", action="store_true")
     p.add_argument("--no-imagination", action="store_true",
                    help="disable the imagination modality entirely")
@@ -357,6 +368,10 @@ def main():
         model_over["infonce_temperature"] = args.infonce_temperature
     if args.contrastive_margin is not None:
         model_over["contrastive_margin_value"] = args.contrastive_margin
+    if args.no_lang_ca:
+        model_over["no_lang_ca"] = True
+    if args.fix_lang_embedding is not None:
+        model_over["fix_lang_embedding"] = args.fix_lang_embedding
     if args.no_cosine_aux_loss:
         model_over["use_cosine_aux_loss"] = False
     if args.no_imagination:
