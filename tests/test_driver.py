@@ -263,3 +263,26 @@ def test_nan_loss_triggers_rollback(driver, monkeypatch):
     with open(os.path.join(driver.log_dir, "train.txt")) as f:
         log = f.read()
     assert "non-finite training metrics" in log
+
+
+def test_validation_bucketing_matches_sequential(driver, monkeypatch):
+    """Length-bucketed eval batching (VLN_EVAL_BUCKET) is pure scheduling:
+    per-item metrics keyed by instr_id are identical to sequential order."""
+    import json
+
+    def per_item(bucket):
+        monkeypatch.setenv("VLN_EVAL_BUCKET", bucket)
+        driver._rng = jax.random.PRNGKey(5)
+        driver.validate(driver.val_splits[0], write_outputs=True)
+        path = os.path.join(driver.log_dir,
+                            "individual_metrics_val_unseen.json")
+        m = json.load(open(path))
+        ids = m["instr_id"]
+        return {ids[i]: {k: v[i] for k, v in m.items() if k != "instr_id"}
+                for i in range(len(ids))}
+
+    seq = per_item("0")
+    buck = per_item("1")
+    assert seq.keys() == buck.keys()
+    for k in seq:
+        assert seq[k] == buck[k], (k, seq[k], buck[k])

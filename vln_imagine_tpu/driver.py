@@ -287,6 +287,17 @@ class FinetuneDriver:
         # memory for the queued batches (16 placed DUET batches can matter
         # on a memory-tight chip); VLN_EVAL_PIPELINE=1 is fully synchronous
         depth = max(int(os.environ.get("VLN_EVAL_PIPELINE", "4")), 1)
+        # length bucketing (VLN_EVAL_BUCKET=0 disables): the early-exit
+        # while_loop runs every batch to its SLOWEST episode, so grouping
+        # episodes by expected length (gt path length as the proxy) cuts the
+        # steps wasted on already-ended items.  Pure scheduling: each item's
+        # rollout is independent of its batchmates (ended items are frozen),
+        # so per-item results are identical to sequential order.
+        if os.environ.get("VLN_EVAL_BUCKET", "1") != "0" and n > bs:
+            gt_len = np.asarray(split.episodes.gt_len)
+            perm = np.argsort(gt_len, kind="stable").astype(np.int64)
+        else:
+            perm = np.arange(n, dtype=np.int64)
         inflight: deque = deque()
         sampler = iter(EvalSampler(n, bs))
         exhausted = False
@@ -296,7 +307,8 @@ class FinetuneDriver:
                 if nxt is None:
                     exhausted = True
                     break
-                idxs, fresh = nxt
+                pos, fresh = nxt
+                idxs = perm[pos]
                 ep = self._place_batch(_take(split.episodes, idxs))
                 rng, self._rng = jax.random.split(self._rng)
                 inflight.append(
