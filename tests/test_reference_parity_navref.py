@@ -226,3 +226,159 @@ def test_navref_obj_pos_branch_matters(pair, inputs):
                                np.zeros_like(inputs["obj_pos"])).obj_logits)
     om = inputs["obj_mask"]
     assert np.abs(a[om] - b[om]).max() > 1e-3
+
+
+def _navref_step_torch(ref, txt, hist_buf, h_mask, obs):
+    """One NavRefCMT 'visual' step on envx observations via the real torch
+    submodules (see module docstring for why not ref('visual'))."""
+    B2 = txt.shape[0]
+    with torch.no_grad():
+        ext_txt = ((1.0 - _t(np.asarray(obs["txt_mask"], np.float32)))
+                   * -10000.0).unsqueeze(1).unsqueeze(2)
+        ext_hist = ((1.0 - _t(h_mask.astype(np.float32)))
+                    * -10000.0).unsqueeze(1).unsqueeze(2)
+        ext_ob = ((1.0 - _t(np.asarray(obs["ob_mask"], np.float32)))
+                  * -10000.0).unsqueeze(1).unsqueeze(2)
+        ext_obj = ((1.0 - _t(np.asarray(obs["obj_mask"], np.float32)))
+                   * -10000.0).unsqueeze(1).unsqueeze(2)
+
+        T_ob = obs["ob_img"].shape[1]
+        Ko = obs["obj_feat"].shape[1]
+        ob_embeds = ref.img_embeddings(
+            _t(obs["ob_img"]), _t(obs["ob_ang"]),
+            ref.embeddings.token_type_embeddings(
+                torch.ones(B2, T_ob, dtype=torch.long)),
+            nav_types=_t(obs["ob_nav"]).long())
+        obj_embeds = ref.obj_embeddings(
+            _t(obs["obj_feat"]), _t(obs["obj_ang"]), _t(obs["obj_pos"]),
+            ref.embeddings.token_type_embeddings(
+                torch.ones(B2, Ko, dtype=torch.long)),
+            ref.img_embeddings.nav_type_embedding(
+                torch.full((B2, Ko), 2, dtype=torch.long)))
+
+        vision = torch.cat([hist_buf, ob_embeds, obj_embeds], 1)
+        ext_vision = torch.cat([ext_hist, ext_ob, ext_obj], -1)
+        lang = _t(txt)
+        T_HIST_ = hist_buf.shape[1]
+        for layer in ref.encoder.x_layers:
+            la, va = layer.cross_att(lang, ext_txt, vision, ext_vision)
+            la, va = layer.self_att(la, ext_txt, va, ext_vision)
+            lang, vision = layer.output_fc(la[0], va[0])
+        h = vision[:, :T_HIST_]
+        ob = vision[:, T_HIST_:T_HIST_ + T_ob]
+        obj = vision[:, T_HIST_ + T_ob:]
+        act = ref.next_action(ob * h[:, :1]).squeeze(-1)
+        objl = ref.ref_object(obj * lang[:, :1]).squeeze(-1)
+        act = act.masked_fill(_t(obs["ob_nav"]).long() == 0, -float("inf"))
+        objl = objl.masked_fill(~_t(obs["obj_mask"]), -float("inf"))
+    return act.numpy(), objl.numpy()
+
+
+def test_navref_whole_episode_parity(pair):
+    """WHOLE-EPISODE NavRef parity: the REVERIE rollout program (objects in
+    the visual stream, grounding recorded at stop time, reverie/agent.py
+    :299-304) against a reference-shaped torch loop over the same compiled
+    env — per-step act logits, greedy actions, trajectories AND the final
+    grounded object ids must agree."""
+    import dataclasses
+
+    from vln_imagine_tpu.config import _replace
+    from vln_imagine_tpu.envx import env as envx
+    from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+    from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+    ref, params, cfg = pair
+    T, B2 = 5, 2
+    cfg = _replace(cfg, "env", max_nodes=20, max_candidates=6, views=12,
+                   max_action_len=T, max_gt_path_len=5,
+                   max_instr_len=L_TXT)
+    cfg = dataclasses.replace(cfg, dataset="reverie")
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=20, max_candidates=6, views=12,
+        feat_dim=768, seed=43, max_objects=KO, obj_feat_dim=OBJ_DIM)
+    ep_np = synthetic_episodes(
+        world_np, batch=B2, max_gt_path_len=5, max_instr_len=L_TXT,
+        max_imaginations=2, vocab_size=1000, feat_dim=768, seed=44)
+    import jax
+    world = jax.tree.map(jnp.asarray, world_np)
+    ep = jax.tree.map(jnp.asarray, ep_np)
+    K = world_np.max_candidates
+
+    model = HamtModel(cfg.model, feat_dropout=0.0)
+    res = rollout_hamt(model, None, params, None, world, ep, cfg,
+                       jax.random.PRNGKey(0), feedback="argmax",
+                       train_ml=None, train_rl=False, deterministic=True,
+                       max_steps=T, early_exit=False)
+    logits_seq = np.asarray(res.logits)
+    actions_seq = np.asarray(res.actions)
+
+    with torch.no_grad():
+        txt = ref("language", txt_ids=_t(np.asarray(ep.txt_ids)),
+                  txt_masks=_t(np.asarray(ep.txt_mask)).float()).numpy()
+        h0 = ref("history").expand(B2, -1)
+    H = txt.shape[-1]
+    hist_buf = torch.zeros(B2, T + 1, H)
+    hist_buf[:, 0] = h0
+    h_len = np.ones(B2, np.int64)
+    st = envx.reset(world, ep, T)
+    nodes_walk = [np.asarray(st.node).copy()]
+    obj_pred = np.full((B2,), -1, np.int64)
+    moved = np.zeros(B2, bool)
+    for t in range(T):
+        ended_pre = np.asarray(st.ended).copy()
+        obs = envx.observe_hamt(world, ep, st, cfg.model.angle_feat_size)
+        h_mask = np.arange(T + 1)[None, :] < h_len[:, None]
+        od = dict(txt_mask=np.asarray(ep.txt_mask),
+                  ob_img=np.asarray(obs.img), ob_ang=np.asarray(obs.ang),
+                  ob_nav=np.asarray(obs.nav_types),
+                  ob_mask=np.asarray(obs.valid),
+                  obj_feat=np.asarray(obs.obj_img),
+                  obj_ang=np.asarray(obs.obj_ang),
+                  obj_pos=np.asarray(obs.obj_pos),
+                  obj_mask=np.asarray(obs.obj_valid))
+        act_ref, obj_ref = _navref_step_torch(ref, txt, hist_buf, h_mask, od)
+
+        valid = (od["ob_nav"] != 0) & od["ob_mask"]
+        np.testing.assert_allclose(logits_seq[t][valid], act_ref[valid],
+                                   **TOL, err_msg=f"step {t} logits")
+        a_t = act_ref.argmax(-1)
+        np.testing.assert_array_equal(a_t, actions_seq[t],
+                                      err_msg=f"step {t} actions")
+
+        stop_sel = (a_t == np.asarray(obs.stop_slot)) & ~ended_pre
+        stopping = stop_sel | ((t == T - 1) & ~ended_pre)
+        any_obj = od["obj_mask"].any(1)
+        best = np.asarray(obs.obj_ids)[
+            np.arange(B2),
+            np.where(od["obj_mask"], obj_ref, -np.inf).argmax(1)]
+        obj_pred = np.where(stopping & any_obj, best, obj_pred)
+
+        is_stop = stop_sel | ended_pre
+        a_env = np.where(is_stop, K, a_t).astype(np.int32)
+        moved |= ~is_stop
+
+        hist_img, pano_img, pano_ang, prev_ang = envx.history_inputs(
+            world, ep, st, jnp.asarray(np.where(is_stop, -1, a_env)),
+            cfg.model.angle_feat_size)
+        with torch.no_grad():
+            h_tok = ref("history",
+                        hist_img_feats=_t(np.asarray(hist_img)),
+                        hist_ang_feats=_t(np.asarray(prev_ang)),
+                        hist_pano_img_feats=_t(np.asarray(pano_img)),
+                        hist_pano_ang_feats=_t(np.asarray(pano_ang)),
+                        ob_step_ids=torch.full((B2,), t, dtype=torch.long))
+        for b in range(B2):
+            if not ended_pre[b]:
+                hist_buf[b, h_len[b]] = h_tok[b]
+                h_len[b] += 1
+        st = envx.step_hamt(world, ep, st, jnp.asarray(a_env))
+        nodes_walk.append(np.asarray(st.node).copy())
+
+    assert moved.any(), "degenerate scenario: nobody moved"
+    # grounded objects and trajectories agree
+    np.testing.assert_array_equal(np.asarray(res.pred_obj), obj_pred)
+    pn, pl = np.asarray(res.path_nodes), np.asarray(res.path_len)
+    walk = np.stack(nodes_walk, 1)
+    for b in range(B2):
+        np.testing.assert_array_equal(pn[b, :pl[b]], walk[b, :pl[b]],
+                                      err_msg=f"item {b} trajectory")

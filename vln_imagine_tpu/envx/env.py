@@ -140,11 +140,10 @@ def observe_hamt(tables: WorldTables, ep: EpisodeBatch, state: EnvState,
         o_ang = _gather_sn(tables.obj_ang, ep.scan, state.node)
         obj_valid = _gather_sn(tables.obj_valid, ep.scan, state.node)
         obj_ids = _gather_sn(tables.obj_ids, ep.scan, state.node)
-        Do = o_feat.shape[-1]
-        if Do < Df:
-            o_feat = jnp.pad(o_feat, ((0, 0), (0, 0), (0, Df - Do)))
-        else:
-            o_feat = o_feat[..., :Df]
+        # object features keep their OWN dim: NavRefCMT's obj img_linear is
+        # [obj_feat_size -> H] (vlnbert_navref.py:17), so padding to the
+        # view-feature dim would make from-scratch models incompatible with
+        # converted reference checkpoints
         obj_img = o_feat * obj_valid[:, :, None]
         obj_ang = angle_feature(o_ang[..., 0] - base_h, o_ang[..., 1],
                                 angle_feat_size)
