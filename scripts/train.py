@@ -312,6 +312,53 @@ def build_real(cfg, args):
     return tables, train, vals, graphs, aug
 
 
+def model_overrides(args, cfg) -> dict:
+    """CLI flags -> ModelConfig overrides, with combination guards."""
+    model_over = {}
+    for k in ("fusion", "aux_loss_type", "act_pred_token", "cosine_weight"):
+        v = getattr(args, k, None)
+        if v is not None:
+            model_over[k] = v
+    if args.infonce_temperature is not None:
+        model_over["infonce_temperature"] = args.infonce_temperature
+    if args.contrastive_margin is not None:
+        model_over["contrastive_margin_value"] = args.contrastive_margin
+    if args.no_cosine_aux_loss:
+        model_over["use_cosine_aux_loss"] = False
+    if args.no_imagination:
+        model_over["imagine_enc_pano"] = False
+        model_over["use_cosine_aux_loss"] = False
+    if args.no_lang_ca:
+        if args.agent != "hamt":
+            raise SystemExit(
+                "--no-lang-ca is a HAMT-stack flag (the DUET model has no "
+                "language cross-attention toggle)")
+        imagine_on = model_over.get("imagine_enc_pano",
+                                    cfg.model.imagine_enc_pano)
+        concat = cfg.model.concat_imagine_with
+        if imagine_on and concat == "language":
+            raise SystemExit(
+                "--no-lang-ca cannot combine with language-concatenated "
+                "imagination (the reference path is inconsistent for this "
+                "combo); pass --no-imagination, or a preset whose "
+                "concat_imagine_with is 'visual'/'off'")
+        aux_on = model_over.get("use_cosine_aux_loss",
+                                cfg.model.use_cosine_aux_loss)
+        if aux_on:
+            raise SystemExit(
+                "--no-lang-ca needs --no-cosine-aux-loss (the aux loss "
+                "consumes single-tensor text embeddings; under no_lang_ca "
+                "the language mode returns a per-layer stack)")
+        model_over["no_lang_ca"] = True
+    if args.fix_lang_embedding is not None:
+        model_over["fix_lang_embedding"] = args.fix_lang_embedding
+    if args.imagination_v1:
+        model_over["imagination_data_v2"] = False
+    if args.e2e_imagination != "off":
+        model_over["e2e_imagination"] = args.e2e_imagination
+    return model_over
+
+
 def main():
     args = parse_args()
     apply_platform_env()
@@ -359,28 +406,7 @@ def main():
     # the reference maps train_alg='sample' to the HAMT IL+RL feedback
     # (agent_cmt.py:799); imitation/dagger are the DUET algorithms
     cfg = _replace(cfg, "train", **overrides)
-    model_over = {}
-    for k in ("fusion", "aux_loss_type", "act_pred_token", "cosine_weight"):
-        v = getattr(args, k, None)
-        if v is not None:
-            model_over[k] = v
-    if args.infonce_temperature is not None:
-        model_over["infonce_temperature"] = args.infonce_temperature
-    if args.contrastive_margin is not None:
-        model_over["contrastive_margin_value"] = args.contrastive_margin
-    if args.no_lang_ca:
-        model_over["no_lang_ca"] = True
-    if args.fix_lang_embedding is not None:
-        model_over["fix_lang_embedding"] = args.fix_lang_embedding
-    if args.no_cosine_aux_loss:
-        model_over["use_cosine_aux_loss"] = False
-    if args.no_imagination:
-        model_over["imagine_enc_pano"] = False
-        model_over["use_cosine_aux_loss"] = False
-    if args.imagination_v1:
-        model_over["imagination_data_v2"] = False
-    if args.e2e_imagination != "off":
-        model_over["e2e_imagination"] = args.e2e_imagination
+    model_over = model_overrides(args, cfg)
     if model_over:
         cfg = _replace(cfg, "model", **model_over)
 

@@ -31,16 +31,35 @@ def test_fix_lang_embedding_tristate(monkeypatch):
 
 
 def test_overrides_reach_model_config(monkeypatch):
+    """Exercises the ACTUAL override wiring (train.model_overrides)."""
+    import train as cli
+
     from vln_imagine_tpu.config import tiny_test_config, _replace
 
-    args = _parse(["--synthetic", "--no-lang-ca",
+    args = _parse(["--synthetic", "--no-lang-ca", "--no-imagination",
                    "--train-lang-embedding"], monkeypatch)
     cfg = tiny_test_config(args.agent)
-    over = {}
-    if args.no_lang_ca:
-        over["no_lang_ca"] = True
-    if args.fix_lang_embedding is not None:
-        over["fix_lang_embedding"] = args.fix_lang_embedding
+    over = cli.model_overrides(args, cfg)
     cfg = _replace(cfg, "model", **over)
     assert cfg.model.no_lang_ca is True
     assert cfg.model.fix_lang_embedding is False
+    assert cfg.model.imagine_enc_pano is False
+
+
+def test_no_lang_ca_guards(monkeypatch):
+    """Bad combinations die with actionable messages, not einsum errors."""
+    import pytest
+    import train as cli
+
+    from vln_imagine_tpu.config import tiny_test_config
+
+    # default HAMT preset: imagination concatenated with language + aux loss
+    args = _parse(["--synthetic", "--no-lang-ca"], monkeypatch)
+    cfg = tiny_test_config("hamt")
+    with pytest.raises(SystemExit, match="imagination|aux"):
+        cli.model_overrides(args, cfg)
+    # DUET has no language cross-attention toggle
+    args = _parse(["--agent", "duet", "--synthetic", "--no-lang-ca"],
+                  monkeypatch)
+    with pytest.raises(SystemExit, match="HAMT"):
+        cli.model_overrides(args, tiny_test_config("duet"))

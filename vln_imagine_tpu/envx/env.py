@@ -45,7 +45,8 @@ class HamtObs(NamedTuple):
     stop_slot: int          # == K
     # REVERIE object segment (separate token bank, NavRefCMT
     # `_object_variable` reverie/agent.py:125-139)
-    obj_img: Optional[jnp.ndarray] = None    # [B, Ko, Df]
+    obj_img: Optional[jnp.ndarray] = None    # [B, Ko, Do] (obj feature dim,
+    # NOT padded to the view dim — NavRef's obj_linear is [Do -> H])
     obj_ang: Optional[jnp.ndarray] = None    # [B, Ko, A]
     obj_ids: Optional[jnp.ndarray] = None    # [B, Ko] i32
     obj_valid: Optional[jnp.ndarray] = None  # [B, Ko] bool
