@@ -26,6 +26,9 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# sibling scripts/train.py provides the split builders; put scripts/ first so
+# `from train import ...` resolves it under `python -m` / embedding too
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def parse_args():
@@ -70,13 +73,17 @@ def parse_args():
                         "reference's --init_pretrained surgery "
                         "(train_r2r.py:110-139, main_r2r.py:131-147)")
     p.add_argument("--init-pretrained", default="auto",
-                   choices=["auto", "bert", "lxmert"],
-                   help="format of --init-ckpt (auto-detects LXMERT)")
+                   choices=["auto", "bert", "bert-verbatim", "lxmert"],
+                   help="format of --init-ckpt (auto-detects LXMERT); "
+                        "'bert-verbatim' reproduces the reference's "
+                        "embeddings-only BERT transfer for DUET "
+                        "(train_r2r.py:110-119) instead of also remapping "
+                        "the language layers")
     return p.parse_args()
 
 
 def main():
-    from train import apply_platform_env  # sibling scripts/train.py
+    from vln_imagine_tpu.platform import apply_platform_env
     apply_platform_env()
     args = parse_args()
     from vln_imagine_tpu.config import duet_r2r_config, hamt_r2r_config, \
@@ -130,7 +137,7 @@ def main():
         args.sub_instr_file = getattr(args, "sub_instr_file", None)
         args.generated_flag_file = getattr(args, "generated_flag_file", None)
         args.aug = None  # aug alternation is a fine-tune concept
-        tables, train, val_splits, _, _ = build_real(cfg, args)
+        cfg, tables, train, val_splits, _, _ = build_real(cfg, args)
 
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer

@@ -19,20 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def apply_platform_env():
-    """VLN_PLATFORM=cpu forces the backend through jax.config (the axon
-    site config overrides the JAX_PLATFORMS env var, so the env-var route
-    does not work here) and enables the persistent compile cache.  Must run
-    before any backend init — lets the CLIs operate with the TPU tunnel
-    down and makes them drivable from subprocess tests."""
-    import jax
-
-    plat = os.environ.get("VLN_PLATFORM")
-    if plat:
-        jax.config.update("jax_platforms", plat)
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("VLN_JAX_CACHE", "/tmp/vln_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from vln_imagine_tpu.platform import apply_platform_env  # noqa: E402
 
 
 def parse_args():
@@ -213,6 +200,23 @@ def build_real(cfg, args):
     if getattr(args, "aug", None):
         aug_items = construct_instrs(args.anno_dir, args.dataset,
                                      [args.aug], aug_flag=True)
+    # size the gt-path buffer from the data: the presets carry known caps,
+    # but guide paths are not length-bounded in every dataset (RxR follows
+    # annotator walks, not shortest paths), so an overflowing split
+    # auto-raises the capacity instead of aborting at episode build.
+    # cvdn is excluded: its supervision paths are resampled shortest paths
+    # (ndh_episodes_from_annotations) with their own clamp semantics.
+    if args.dataset != "cvdn":
+        need = max((len(it["path"]) for items in all_items.values()
+                    for it in items), default=0)
+        if aug_items:
+            need = max(need, max(len(it["path"]) for it in aug_items))
+        if need > cfg.env.max_gt_path_len:
+            from vln_imagine_tpu.config import _replace as _rep
+            print(f"auto-sizing env.max_gt_path_len "
+                  f"{cfg.env.max_gt_path_len} -> {need} from the loaded "
+                  f"annotations")
+            cfg = _rep(cfg, "env", max_gt_path_len=need)
     scans = sorted({it["scan"] for items in all_items.values()
                     for it in items}
                    | ({it["scan"] for it in aug_items} if aug_items
@@ -309,7 +313,9 @@ def build_real(cfg, args):
             cfg.env.max_gt_path_len, cfg.model.max_imagination_len,
             obj_id_fn=obj_id_fn, imagine_feat_dim=cfg.model.hidden_size)
         aug = SplitData("aug", ep, ids)
-    return tables, train, vals, graphs, aug
+    # cfg comes back too: the gt-path capacity may have been auto-sized
+    # from the annotations above
+    return cfg, tables, train, vals, graphs, aug
 
 
 def model_overrides(args, cfg) -> dict:
@@ -427,7 +433,7 @@ def main():
                     _np.asarray(train.episodes.imagine_mask))),
                 train.instr_ids)
     else:
-        tables, train, vals, graphs, aug = build_real(cfg, args)
+        cfg, tables, train, vals, graphs, aug = build_real(cfg, args)
 
     if args.mesh_data:
         cfg = _replace(cfg, "mesh", data_parallelism=args.mesh_data,

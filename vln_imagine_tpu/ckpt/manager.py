@@ -194,7 +194,14 @@ def load_pretrain_init(path: str, agent: str = "hamt",
     VLN-DUET/pretrain_src/train_r2r.py:110-139, HAMT main_r2r.py:131-147).
     source: 'bert' (HF bert-base-uncased state_dict), 'lxmert'
     (model_LXRT.pth), or 'auto' (detects LXMERT by its x_layers keys).
-    Graft the result with ckpt.transfer.init_finetune_from_pretrain."""
+    Graft the result with ckpt.transfer.init_finetune_from_pretrain.
+
+    For DUET, 'bert' deliberately improves on the reference: the
+    reference's bert branch copies HF names verbatim (train_r2r.py:110-119)
+    where 'encoder.layer.*' matches nothing in the model, so only the
+    embeddings transfer.  Here the language layers are remapped onto
+    lang_encoder too.  source='bert-verbatim' reproduces the reference's
+    embeddings-only transfer exactly for trajectory-parity runs."""
     import torch
 
     from vln_imagine_tpu.ckpt import convert as C
@@ -215,6 +222,9 @@ def load_pretrain_init(path: str, agent: str = "hamt",
     if source == "lxmert":
         assert agent == "duet", "LXMERT init is the DUET recipe"
         sd = C.lxmert_remap(sd)
+    elif agent == "duet" and source == "bert-verbatim":
+        # reference-exact: keep HF names verbatim so only embeddings match
+        sd = {k.replace("module.", ""): v for k, v in sd.items()}
     elif agent == "duet":
         sd = C.bert_remap_for_duet(sd)
     key_fn = (C.hamt_torch_to_flax_path if agent == "hamt"

@@ -214,10 +214,12 @@ def build_object_tables(
             # x1=y1=0 degenerate positions are NOT what NavRef trained on
             if not warned_sizes:
                 warned_sizes.append(True)
-                print("WARNING: object store has 'sizes' but no 'bboxes'; "
-                      "obj_pos gets degenerate x1=y1=0 positions — the "
-                      "HAMT NavRef stack needs the bbox-format store "
-                      "(load_obj_database, reverie/data_utils.py:33-43)")
+                import warnings
+                warnings.warn(
+                    "object store has 'sizes' but no 'bboxes'; obj_pos gets "
+                    "degenerate x1=y1=0 positions — the HAMT NavRef stack "
+                    "needs the bbox-format store (load_obj_database, "
+                    "reverie/data_utils.py:33-43)", stacklevel=2)
             wh = np.asarray(attrs["sizes"], np.float32).reshape(-1, 2)[:k]
             x1 = y1 = np.zeros(len(wh), np.float32)
             x2, y2 = wh[:, 0], wh[:, 1]

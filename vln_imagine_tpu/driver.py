@@ -447,9 +447,12 @@ class FinetuneDriver:
                 # raise on its own — once params are poisoned every later
                 # step is garbage, so treat it as an interval failure and
                 # take the same rollback path (checked once per interval at
-                # the existing host sync; no per-step device syncs added)
+                # the existing host sync; no per-step device syncs added).
+                # Only loss metrics gate the rollback: an auxiliary metric
+                # can be legitimately NaN for an interval (e.g. a mean over
+                # an empty supervision subset) without touching params.
                 bad = {k: v for k, v in train_metrics.items()
-                       if not np.isfinite(v)}
+                       if "loss" in k and not np.isfinite(v)}
                 if bad:
                     raise FloatingPointError(
                         f"non-finite training metrics {bad}")
