@@ -54,6 +54,28 @@ def parse_args():
     p.add_argument("--grad-accum", type=int, default=None,
                    help="gradient accumulation micro-steps per optimizer "
                         "update (main_r2r.py:240-280)")
+    # E2E image pre-training: raw panorama pixels + in-model ViT, the
+    # reference's main_r2r_image.py driver (VLN-HAMT/pretrain_src/
+    # main_r2r_image.py:1-585); --raw-panorama-bank implies --e2e
+    p.add_argument("--e2e", action="store_true",
+                   help="six-task E2E image pre-training with the ViT in "
+                        "the loop (main_r2r_image.py); with --synthetic a "
+                        "random in-memory panorama bank is fabricated")
+    p.add_argument("--raw-panorama-bank",
+                   help="mmap'd .npy [S, N, V, h, w, 3] of preprocessed "
+                        "panorama views aligned with the compiled world "
+                        "(RawPanoramaBank; replaces the reference's LMDB "
+                        "raw-image store, pretrain_src/data/image_data.py)")
+    p.add_argument("--image-size", type=int, default=224,
+                   help="E2E input image side (ViT-B/16 default 224)")
+    p.add_argument("--vit-init",
+                   help="timm vit_base_patch16_224 state_dict (.pth) to "
+                        "initialize the in-model ViT from "
+                        "(main_r2r_image.py loads the same backbone)")
+    p.add_argument("--vit-layers", type=int, default=12)
+    p.add_argument("--vit-hidden", type=int, default=768)
+    p.add_argument("--vit-heads", type=int, default=12)
+    p.add_argument("--vit-patch", type=int, default=16)
     # data
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--connectivity-dir")
@@ -95,6 +117,16 @@ def main():
     else:
         cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
     cfg = cfg.replace(dataset=args.dataset)
+    if args.raw_panorama_bank:
+        args.e2e = True
+    if args.e2e:
+        # the E2E image driver is HAMT-only in the reference
+        # (main_r2r_image.py); features come out of the in-model ViT, so the
+        # cross-modal image width must equal the ViT hidden size
+        if args.agent != "hamt":
+            raise SystemExit("--e2e is the HAMT image pre-training driver "
+                             "(main_r2r_image.py has no DUET sibling)")
+        cfg = _replace(cfg, "model", image_feat_size=args.vit_hidden)
     if args.agent == "duet":
         # DUET pretrain task set (r2r_pretrain.json:43-50)
         cfg = _replace(cfg, "pretrain", tasks=("mlm", "mrc", "sap"),
@@ -142,7 +174,7 @@ def main():
     from vln_imagine_tpu.pretrain.trainer import DuetPretrainer, HamtPretrainer
     cls = HamtPretrainer if args.agent == "hamt" else DuetPretrainer
     extra = {}
-    if not args.synthetic and not args.no_prefetch:
+    if not args.synthetic and not args.no_prefetch and not args.e2e:
         # default real-data path for BOTH stacks: write the feature table to
         # an mmap bank and overlap per-batch row gathers with device compute
         # via the native BankPrefetcher (PrefetchLoader parity — it wraps the
@@ -156,11 +188,64 @@ def main():
         S, N = feat.shape[:2]
         extra["feature_bank"] = FeatureBank.write(
             bank_path, feat.reshape(S * N, -1))
-    pt = cls(cfg, tables, train.episodes,
-             image_prob_size=args.image_prob_size, seed=args.seed, **extra)
+    if args.e2e:
+        import numpy as _np
+
+        from vln_imagine_tpu.models.vit import ViTConfig
+        from vln_imagine_tpu.pretrain.trainer import E2EPretrainer
+        vit_cfg = ViTConfig(image_size=args.image_size,
+                            patch_size=args.vit_patch,
+                            hidden_size=args.vit_hidden,
+                            num_layers=args.vit_layers,
+                            num_heads=args.vit_heads)
+        if args.raw_panorama_bank:
+            from vln_imagine_tpu.data.features import RawPanoramaBank
+            images = RawPanoramaBank(args.raw_panorama_bank, args.image_size)
+        else:
+            if not args.synthetic:
+                raise SystemExit("--e2e needs --raw-panorama-bank "
+                                 "(or --synthetic for a smoke run)")
+            # fabricated in-memory panorama bank, same indexing as the mmap
+            S, N, V = _np.asarray(tables.feat).shape[:3]
+            images = _np.random.default_rng(args.seed).standard_normal(
+                (S, N, V, args.image_size, args.image_size, 3)
+            ).astype(_np.float32)
+        pt = E2EPretrainer(cfg, tables, train.episodes, images,
+                           vit_config=vit_cfg,
+                           image_prob_size=args.image_prob_size,
+                           seed=args.seed)
+    else:
+        pt = cls(cfg, tables, train.episodes,
+                 image_prob_size=args.image_prob_size, seed=args.seed,
+                 **extra)
     for v in val_splits:
         pt.add_validation_split(v.name, tables, v.episodes, seed=args.seed)
     state = pt.init_state()
+    if args.e2e and args.vit_init:
+        # timm ViT-B/16 backbone weights into the in-model ViT
+        # (main_r2r_image.py loads the same released backbone)
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from vln_imagine_tpu.ckpt.convert import (convert_state_dict,
+                                                  vit_torch_to_flax_path)
+        sd = torch.load(args.vit_init, map_location="cpu")
+        for key in ("state_dict", "model", "module"):
+            if isinstance(sd, dict) and isinstance(sd.get(key), dict):
+                sd = sd[key]
+        tree, skipped = convert_state_dict(sd, vit_torch_to_flax_path)
+        cur_vit = state.params["params"]["vit"]
+        # tree-structure equality is the shape check: a mismatched ViT
+        # geometry (patch/hidden/layers) fails here, not silently
+        new_vit = jax.tree.map(lambda c, s: jnp.asarray(s, dtype=c.dtype),
+                               cur_vit, tree["params"])
+        params = dict(state.params)
+        params["params"] = dict(params["params"], vit=new_vit)
+        state = state.replace(params=params)
+        print(f"initialized ViT from {args.vit_init}: "
+              f"{len(jax.tree.leaves(new_vit))} leaves, "
+              f"{len(skipped)} source keys skipped")
     if args.init_ckpt:
         from vln_imagine_tpu.ckpt.manager import load_pretrain_init
         from vln_imagine_tpu.ckpt.transfer import init_finetune_from_pretrain

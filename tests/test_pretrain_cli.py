@@ -47,6 +47,98 @@ def test_task_override_sets_uniform_mix(monkeypatch):
     assert cfg.pretrain.mix_ratio == (1, 1)
 
 
+def test_e2e_flags(monkeypatch):
+    """--raw-panorama-bank implies the E2E image driver (main() flips
+    args.e2e); the defaults match the reference ViT-B/16 backbone
+    (main_r2r_image.py)."""
+    args = _parse(["--raw-panorama-bank", "/data/panos.npy"], monkeypatch)
+    assert not args.e2e  # main() derives it
+    assert args.image_size == 224 and args.vit_layers == 12
+    assert args.vit_hidden == 768 and args.vit_patch == 16
+    args = _parse(["--e2e", "--synthetic", "--vit-hidden", "48"], monkeypatch)
+    assert args.e2e and args.raw_panorama_bank is None
+
+
+@pytest.mark.slow
+def test_e2e_cli_smoke(tmp_path):
+    """The E2E image pre-training driver runs from the command line
+    (the reference ships main_r2r_image.py as a first-class entry point,
+    VLN-HAMT/pretrain_src/main_r2r_image.py:1-585): six-task mix with the
+    ViT in the loop over a fabricated panorama bank, validation + snapshot."""
+    import math
+    import re
+    import subprocess
+
+    env = dict(os.environ, VLN_PLATFORM="cpu", PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    log_dir = str(tmp_path / "e2e")
+    proc = subprocess.run(
+        [sys.executable, "scripts/pretrain.py", "--agent", "hamt",
+         "--synthetic", "--e2e", "--steps", "6", "--log-steps", "3",
+         "--valid-steps", "6", "--batch-size", "2",
+         "--tasks", "mlm", "sap", "mrc", "--image-prob-size", "8",
+         "--image-size", "16", "--vit-patch", "8", "--vit-layers", "1",
+         "--vit-hidden", "48", "--vit-heads", "4", "--log-dir", log_dir],
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))), capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    snap = os.path.join(log_dir, "model_step_6")
+    assert os.path.isdir(snap), os.listdir(log_dir)
+    record = open(os.path.join(log_dir, "pretrain.txt")).read()
+    assert "valid @ step 6" in record
+    losses = [float(x) for x in re.findall(r"loss=([^\s,]+)", record)]
+    assert losses and all(math.isfinite(l) and l < 1e6
+                          for l in losses), record
+
+
+@pytest.mark.slow
+def test_e2e_vit_init_graft(tmp_path):
+    """--vit-init grafts a timm-format ViT state_dict into the in-model
+    backbone (the reference loads the released vit_base_patch16_224 weights
+    the same way, main_r2r_image.py)."""
+    import subprocess
+
+    import numpy as np
+    import torch
+
+    from tests.test_vit import TorchViT
+    from vln_imagine_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(image_size=16, patch_size=8, hidden_size=48,
+                    num_layers=1, num_heads=4, compute_dtype="float32")
+    tv = TorchViT(cfg)
+    vit_path = str(tmp_path / "vit.pth")
+    torch.save(tv.state_dict(), vit_path)
+
+    env = dict(os.environ, VLN_PLATFORM="cpu", PYTHONPATH=REPO)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    log_dir = str(tmp_path / "e2e")
+    proc = subprocess.run(
+        [sys.executable, "scripts/pretrain.py", "--agent", "hamt",
+         "--synthetic", "--e2e", "--steps", "2", "--log-steps", "2",
+         "--valid-steps", "2", "--batch-size", "2", "--tasks", "mlm",
+         "--image-prob-size", "8", "--image-size", "16", "--vit-patch", "8",
+         "--vit-layers", "1", "--vit-hidden", "48", "--vit-heads", "4",
+         "--vit-init", vit_path, "--log-dir", log_dir],
+        env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(
+            __file__))), capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    assert "initialized ViT from" in proc.stdout, proc.stdout[-2000:]
+
+    # the snapshot's ViT cls_token equals the torch source (graft, not init)
+    import orbax.checkpoint as ocp
+    snap = os.path.join(log_dir, "model_step_2")
+    restored = ocp.PyTreeCheckpointer().restore(snap)
+    got = np.asarray(restored["params"]["params"]["vit"]["cls_token"])
+    want = tv.state_dict()["cls_token"].numpy()
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1),
+                               rtol=1e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_resume_graft_roundtrip(tmp_path):
     """model_step_N snapshots restore onto a PretrainState via the
