@@ -67,9 +67,53 @@ def attention_core(q, k, v, bias, dropout_rate, deterministic, rng, head_dim):
     return ctx.astype(v.dtype), probs
 
 
+def attention_core_blhd(q, k, v, bias, dropout_rate, deterministic, rng,
+                        head_dim):
+    """attention_core on [B, L, H, D] q/k/v — no explicit head transposes.
+
+    In the per-step rollout programs the [B,L,H,D] -> [B,H,L,D] relayout
+    copies around every attention op dominated device time (~30% of the eval
+    program at batch 128); expressing the contractions directly on the
+    projection layout lets XLA fold the relayout into the matmuls."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
+    if bias is not None:
+        scores = scores + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and not deterministic:
+        keep = jax.random.bernoulli(rng, 1.0 - dropout_rate, probs.shape)
+        probs = probs * keep / (1.0 - dropout_rate)
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return ctx.astype(v.dtype), probs
+
+
+class DenseParams(nn.Module):
+    """Parameter-only stand-in for nn.Dense: declares the same
+    {kernel, bias} leaves under the module name (checkpoint-compatible) but
+    hands the arrays back so the caller can pack several projections into
+    one wide matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MHAttention(nn.Module):
     """Q/K/V projection + attention. ctx (key/value source) may differ from the
-    query stream (BertOutAttention, vilmodel_cmt.py:302-353)."""
+    query stream (BertOutAttention, vilmodel_cmt.py:302-353).
+
+    The three projections are packed into one (self-attention) or two
+    (cross-attention) wide matmuls: the kernel concat is loop-invariant, so
+    XLA hoists it out of the episode scan and each step runs 1-2 large
+    matmuls instead of 3 narrow ones.  Per-column-block results are
+    identical to separate Dense calls."""
 
     config: ModelConfig
 
@@ -78,32 +122,44 @@ class MHAttention(nn.Module):
         cfg = self.config
         h, d = cfg.num_attention_heads, cfg.head_dim
         dt = _dtype(cfg)
-        q = nn.Dense(cfg.hidden_size, dtype=dt, name="query")(hidden)
-        k = nn.Dense(cfg.hidden_size, dtype=dt, name="key")(context)
-        v = nn.Dense(cfg.hidden_size, dtype=dt, name="value")(context)
+        wq, bq = DenseParams(cfg.hidden_size, name="query")(hidden.shape[-1])
+        wk, bk = DenseParams(cfg.hidden_size, name="key")(context.shape[-1])
+        wv, bv = DenseParams(cfg.hidden_size, name="value")(context.shape[-1])
+        if hidden is context:
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(dt)
+            b = jnp.concatenate([bq, bk, bv]).astype(dt)
+            qkv = hidden.astype(dt) @ w + b
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = hidden.astype(dt) @ wq.astype(dt) + bq.astype(dt)
+            wkv = jnp.concatenate([wk, wv], axis=1).astype(dt)
+            bkv = jnp.concatenate([bk, bv]).astype(dt)
+            kv = context.astype(dt) @ wkv + bkv
+            k, v = jnp.split(kv, 2, axis=-1)
 
-        def split(x):
-            b, l, _ = x.shape
-            return x.reshape(b, l, h, d).transpose(0, 2, 1, 3)
+        def heads(x):
+            b_, l, _ = x.shape
+            return x.reshape(b_, l, h, d)
 
         drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
+        rng = self.make_rng("dropout") if drop_active else None
         if cfg.use_pallas_attention:
             # dropout-active calls stay fused: the kernel draws the probs-
             # dropout mask from the TPU per-core PRNG (ops/attention.py)
             from vln_imagine_tpu.ops.attention import fused_attention
-            rng = self.make_rng("dropout") if drop_active else None
+            bhld = lambda x: heads(x).transpose(0, 2, 1, 3)  # noqa: E731
             ctx = fused_attention(
-                split(q), split(k), split(v), bias, 1.0 / (d ** 0.5),
+                bhld(q), bhld(k), bhld(v), bias, 1.0 / (d ** 0.5),
                 dropout_rate=(cfg.attention_probs_dropout_prob
                               if drop_active else 0.0),
                 dropout_rng=rng)
-        else:
-            rng = self.make_rng("dropout") if drop_active else None
-            ctx, _ = attention_core(
-                split(q), split(k), split(v), bias,
-                cfg.attention_probs_dropout_prob, deterministic, rng, d)
-        b, _, lq, _ = ctx.shape
-        return ctx.transpose(0, 2, 1, 3).reshape(b, lq, cfg.hidden_size)
+            b_, _, lq, _ = ctx.shape
+            return ctx.transpose(0, 2, 1, 3).reshape(b_, lq, cfg.hidden_size)
+        ctx, _ = attention_core_blhd(
+            heads(q), heads(k), heads(v), bias,
+            cfg.attention_probs_dropout_prob, deterministic, rng, d)
+        b_, lq = ctx.shape[:2]
+        return ctx.reshape(b_, lq, cfg.hidden_size)
 
 
 class SelfOutput(nn.Module):
