@@ -33,19 +33,80 @@ L_TXT = 60
 N_IMAG = 20
 
 
-def _world_and_episodes(cfg):
+def _world_and_episodes(cfg, batch: int = BATCH):
     from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
 
     world_np, graphs = synthetic_world(
         num_scans=2, num_nodes=96, max_candidates=cfg.env.max_candidates,
         views=36, feat_dim=cfg.model.image_feat_size, seed=0)
     ep_np = synthetic_episodes(
-        world_np, batch=BATCH, max_gt_path_len=cfg.env.max_gt_path_len,
+        world_np, batch=batch, max_gt_path_len=cfg.env.max_gt_path_len,
         max_instr_len=cfg.env.max_instr_len,
         max_imaginations=cfg.model.max_imagination_len,
         vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
         seed=1)
     return world_np, graphs, ep_np
+
+
+# peak per-chip specs for MFU / roofline accounting (bf16 matmul peak,
+# HBM bandwidth); device_kind prefixes as reported by jax
+_CHIP_PEAKS = {
+    "TPU v5 lite": (197e12, 819e9),    # v5e
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v4": (275e12, 1228e9),
+    "TPU v6 lite": (918e12, 1640e9),   # v6e (Trillium)
+}
+
+
+def _chip_peaks():
+    kind = jax.devices()[0].device_kind
+    for prefix, peaks in _CHIP_PEAKS.items():
+        if kind.startswith(prefix):
+            return peaks
+    return None, None
+
+
+def _make_cost_model(costs: dict):
+    """costs: {batch: {flops_t1, flops_t2, bytes_t1, bytes_t2}} from the
+    flops: lanes.  Returns f(B, T) -> (flops, bytes) using
+    cost(B, T) = Pw + B*Pa + T*(Bw + B*Ba): the two unroll depths separate
+    prologue from per-step body, the two batch sizes separate B-independent
+    weight traffic from per-item activation traffic.  With one batch point
+    the model is linear in B (exact for flops; bytes then overcount the
+    weight term at large B)."""
+    def solve(key):
+        pts = {}
+        for b, c in costs.items():
+            body = c[f"{key}_t2"] - c[f"{key}_t1"]
+            pts[b] = (c[f"{key}_t1"] - body, body)  # (prologue, body)
+        if len(pts) >= 2:
+            (b0, (p0, s0)), (b1, (p1, s1)) = sorted(pts.items())[:2]
+            sa = (s1 - s0) / (b1 - b0)
+            pa = (p1 - p0) / (b1 - b0)
+            sw, pw = s0 - b0 * sa, p0 - b0 * pa
+            return lambda B, T: pw + B * pa + T * (sw + B * sa)
+        (b0, (p0, s0)), = pts.items()
+        return lambda B, T: (p0 + T * s0) * (B / b0)
+
+    f, by = solve("flops"), solve("bytes")
+    return lambda B, T: (f(B, T), by(B, T))
+
+
+def _program_costs(jitted, *args):
+    """flops + bytes accessed of one compiled program via XLA cost analysis
+    (None, None when the backend doesn't report them)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = ca.get("flops")
+        byts = ca.get("bytes accessed")
+        return (float(flops) if flops else None,
+                float(byts) if byts else None)
+    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort
+        print(f"# cost_analysis failed: {e!r}", file=sys.stderr)
+        return None, None
 
 
 def _time_fn(fn, iters):
@@ -80,13 +141,14 @@ class _AgentLane:
     """One agent's measurement lane on a device: CPU-side init (fast on this
     1-core host) + device transfer, then eval/train timings on demand."""
 
-    def __init__(self, agent: str, device=None):
+    def __init__(self, agent: str, device=None, batch: int = BATCH):
         from vln_imagine_tpu.config import (duet_r2r_config, hamt_r2r_config,
                                             _replace)
         from vln_imagine_tpu.train.trainer import HamtTrainer
         from vln_imagine_tpu.train.trainer_duet import DuetTrainer
 
         self.agent = agent
+        self.batch = batch
         self.on_cpu = device == "cpu"
         self.dev = jax.devices("cpu")[0] if self.on_cpu else jax.devices()[0]
         maker = hamt_r2r_config if agent == "hamt" else duet_r2r_config
@@ -97,7 +159,7 @@ class _AgentLane:
                        use_pallas_attention=not self.on_cpu,
                        **({"compute_dtype": "float32"} if self.on_cpu
                           else {}))
-        world_np, _, ep_np = _world_and_episodes(cfg)
+        world_np, _, ep_np = _world_and_episodes(cfg, batch=batch)
         state = _cpu_init(trainer_cls, cfg, world_np, ep_np)
         dev = self.dev
         self.world = jax.tree.map(
@@ -125,13 +187,67 @@ class _AgentLane:
                                        train_rl=False, deterministic=True,
                                        early_exit=False)
                     return res.path_nodes, res.path_len
+            elif fixed_horizon:
+                from vln_imagine_tpu.train.rollout_duet import rollout_duet
+                trainer, world, cfg = self.trainer, self.world, self.trainer.cfg
+
+                @jax.jit
+                def step(params, ep, rng):
+                    res = rollout_duet(trainer.model, params, world, ep, cfg,
+                                       rng, feedback="argmax", train_ml=None,
+                                       deterministic=True, early_exit=False)
+                    return res.path_nodes, res.path_len
             else:
                 step = self.trainer.make_eval_step()
             rng = jax.random.PRNGKey(0)
             dt = _time_fn(
                 lambda i: step(self.state.params, self.ep,
                                jax.random.fold_in(rng, i)), iters)
-        return BATCH / dt
+            self._last_step = step
+            self._last_dt = dt
+        return self.batch / dt
+
+    def eval_costs(self):
+        """XLA cost analysis of the last-timed eval program: (flops, bytes)
+        per program execution; call after eval_eps."""
+        rng = jax.random.PRNGKey(0)
+        return _program_costs(self._last_step, self.state.params, self.ep,
+                              rng)
+
+    def unrolled_costs(self, T: int):
+        """(flops, bytes) of the fixed-horizon eval program UNROLLED to T
+        steps, with pallas attention off so HLO cost analysis counts the
+        attention math (custom calls report zero).  HLO cost analysis counts
+        a loop body once regardless of trip count, so exact per-program
+        numbers come from differencing two short unrolled programs:
+        body = c(2) - c(1), prologue = c(1) - body (bench main).  Compiled,
+        never executed."""
+        from vln_imagine_tpu.config import _replace
+        from vln_imagine_tpu.train.rollout_duet import rollout_duet
+        from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+        cfg = _replace(self.trainer.cfg, "model", use_pallas_attention=False)
+        cls = type(self.trainer)
+        shadow = cls(cfg, self.world)
+        if self.agent == "hamt":
+            @jax.jit
+            def fn(params, ep, rng):
+                res = rollout_hamt(shadow.model, shadow.critic, params, None,
+                                   self.world, ep, cfg, rng,
+                                   feedback="argmax", train_ml=None,
+                                   train_rl=False, deterministic=True,
+                                   early_exit=False, max_steps=T, unroll=True)
+                return res.path_nodes, res.path_len
+        else:
+            @jax.jit
+            def fn(params, ep, rng):
+                res = rollout_duet(shadow.model, params, self.world, ep, cfg,
+                                   rng, feedback="argmax", train_ml=None,
+                                   deterministic=True, early_exit=False,
+                                   max_steps=T, unroll=True)
+                return res.path_nodes, res.path_len
+        return _program_costs(fn, self.state.params, self.ep,
+                              jax.random.PRNGKey(0))
 
     def train_ms(self, iters: int = 10) -> float:
         with jax.default_device(self.dev):
@@ -322,11 +438,14 @@ def _emit_partial(signum=None, frame=None):
         "value": _partial.get("value"),
         "unit": "episodes/s",
         "vs_baseline": _partial.get("vs_baseline"),
+        "tunnel_stall": True,
         "note": "partial: hard deadline hit (TPU tunnel stall); "
                 f"stages done: {sorted(_partial)}",
     }
     print(json.dumps(record), flush=True)
-    os._exit(0 if _partial.get("value") is not None else 1)
+    # a mid-run tunnel stall is environmental: the JSON above is the
+    # complete record of what was measured, so exit clean either way
+    os._exit(0)
 
 
 def _enable_cache():
@@ -374,6 +493,28 @@ def _lane_main(lane: str):
         out = {"lane": lane, "value": _AgentLane("duet").eval_eps(20)}
     elif lane == "duet_train":
         out = {"lane": lane, "value": _AgentLane("duet").train_ms()}
+    elif lane.startswith("flops:"):
+        # flops:<agent>:<batch> — cost analysis of the fixed-horizon eval
+        # program unrolled to 1 and 2 steps (pallas off): main() derives
+        # body = c2 - c1, prologue = c1 - body, then scales across the
+        # sweep's batch sizes / the full horizon
+        _, agent_name, bs = lane.split(":")
+        al = _AgentLane(agent_name, batch=int(bs))
+        f1, b1 = al.unrolled_costs(1)
+        f2, b2 = al.unrolled_costs(2)
+        out = {"lane": lane, "value": f2, "batch": int(bs),
+               "flops_t1": f1, "flops_t2": f2,
+               "bytes_t1": b1, "bytes_t2": b2}
+    elif lane.startswith("sweep:"):
+        # sweep:<agent>:<batch> — fixed-horizon eval throughput at one
+        # batch size (MFU/bytes are derived in main() from the flops: lanes)
+        _, agent_name, bs = lane.split(":")
+        bs = int(bs)
+        al = _AgentLane(agent_name, batch=bs)
+        iters = max(3, min(20, 4096 // bs))
+        eps = al.eval_eps(iters, fixed_horizon=True)
+        out = {"lane": lane, "value": eps, "batch": bs,
+               "program_ms": round(al._last_dt * 1e3, 3)}
     else:
         raise SystemExit(f"unknown lane {lane}")
     print(json.dumps(out), flush=True)
@@ -395,7 +536,9 @@ def _run_lane(lane: str, timeout_s: float, seconds: float | None = None):
         for line in reversed(res.stdout.strip().splitlines()):
             if line.startswith("{"):
                 parsed = json.loads(line)
-                return parsed if lane == "probe" else parsed.get("value")
+                if lane == "probe" or lane.startswith(("sweep:", "flops:")):
+                    return parsed
+                return parsed.get("value")
     except Exception as e:  # noqa: BLE001 - bench must always print
         print(f"# lane {lane} failed: {e!r}", file=sys.stderr)
     return None
@@ -436,6 +579,7 @@ def main():
             "value": None,
             "unit": "episodes/s",
             "vs_baseline": None,
+            "tunnel_down": True,
             "note": "TPU tunnel unreachable (90 s device probe timed out); "
                     "same-host CPU anchor measured instead",
             "baseline": {
@@ -448,7 +592,9 @@ def main():
             },
         }
         print(json.dumps(record), flush=True)
-        raise SystemExit(1)
+        # a dead tunnel is environmental, not a bench fault: the fallback
+        # artifact above is complete and well-formed, so exit clean
+        raise SystemExit(0)
     mark(f"device probe ok ({probe.get('platform')})")
 
     # 1. the headline metric, alone in this process: the product eval path
@@ -492,6 +638,52 @@ def main():
             if got is not None:
                 chip[key] = got
             mark(f"{lane} done")
+    # 4. utilization sweep: fixed-horizon eval at growing batch sizes plus
+    # exact FLOP/byte models from unrolled-program cost analysis -> MFU /
+    # HBM-bandwidth utilization and the batch-scaling curve (is the chip
+    # launch-bound or compute-bound?).  HLO cost analysis counts loop bodies
+    # once, so per-program totals come from the flops: lanes' two-step
+    # unrolled programs: body = c(2)-c(1), prologue = c(1)-body; measuring
+    # at B=8 and B=32 separates the B-independent weight traffic from the
+    # per-item activation traffic (cost(B,T) = Pw + B*Pa + T*(Bw + B*Ba)).
+    T_FULL = 15  # max_action_len in both released presets
+    peak_f, peak_b = None, None
+    sweep = {}
+    for agent_name, sizes in (("hamt", (8, 32, 128, 512)),
+                              ("duet", (8, 128))):
+        cost_model = None
+        costs = {}
+        for cb in (8, 32):
+            if left() < 120:
+                break
+            got = _run_lane(f"flops:{agent_name}:{cb}", timeout_s=left())
+            if got and got.get("flops_t1") and got.get("flops_t2"):
+                costs[cb] = got
+            mark(f"flops {agent_name} B={cb} done")
+        if costs:
+            cost_model = _make_cost_model(costs)
+        for bs in sizes:
+            if left() < 75:
+                break
+            got = _run_lane(f"sweep:{agent_name}:{bs}", timeout_s=left())
+            if got is not None:
+                point = {k: got.get(k) for k in ("batch", "value",
+                                                 "program_ms")}
+                dt = (got.get("program_ms") or 0) / 1e3
+                if cost_model and dt > 0:
+                    if peak_f is None:
+                        peak_f, peak_b = _chip_peaks()
+                    flops, byts = cost_model(bs, T_FULL)
+                    point["flops"] = flops
+                    point["bytes_accessed"] = byts
+                    point["mfu"] = (round(flops / dt / peak_f, 4)
+                                    if flops and peak_f else None)
+                    point["hbm_util"] = (round(byts / dt / peak_b, 4)
+                                         if byts and peak_b else None)
+                    point["arith_intensity"] = (round(flops / byts, 2)
+                                                if flops and byts else None)
+                sweep.setdefault(agent_name, []).append(point)
+            mark(f"sweep {agent_name} bs={bs} done")
     if left() > 60:
         jax_cpu_eps = _run_lane("jax_cpu", timeout_s=left())
         mark("jax-cpu anchor done")
@@ -530,6 +722,10 @@ def main():
             "duet_train_step_ms": round(chip["duet_train_step_ms"], 1)
             if "duet_train_step_ms" in chip else None,
         },
+        # fixed-horizon eval batch-scaling curve with per-program XLA cost
+        # analysis: value = episodes/s, mfu = flops/s over the chip's bf16
+        # peak, hbm_util = bytes/s over peak HBM bandwidth
+        "utilization_sweep": sweep or None,
     }
     try:
         import signal

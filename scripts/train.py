@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--iters", type=int, default=None)
     p.add_argument("--log-every", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--eval-batch-size", type=int, default=None,
+                   help="greedy-eval batch size (0 = train batch size); "
+                        "eval items are independent, so large batches are "
+                        "pure occupancy — presets default to 128")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=0)
     # model/objective knobs mirroring the reference parser
@@ -393,8 +397,8 @@ def main():
         cfg = hamt_r2r_config() if args.agent == "hamt" else duet_r2r_config()
     cfg = cfg.replace(dataset=args.dataset)
     overrides = {}
-    for k in ("iters", "log_every", "batch_size", "lr", "train_alg",
-              "ml_weight", "expl_max_ratio"):
+    for k in ("iters", "log_every", "batch_size", "eval_batch_size", "lr",
+              "train_alg", "ml_weight", "expl_max_ratio"):
         v = getattr(args, k, None)
         if v is not None:
             overrides[k] = v

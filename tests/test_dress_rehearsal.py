@@ -1,0 +1,222 @@
+"""Real-data dress rehearsal WITHOUT real data (VERDICT r3 item 7).
+
+Fabricates a miniature but schema-exact MP3D-style artifact set on disk —
+connectivity JSONs (`<scan>_connectivity.json` with 4x4 poses + unobstructed
+rows, data_utils.py:453-478), `R2R_{split}_enc.json` annotations
+(construct_instrs schema, data_utils.py:84-116), HDF5 view features
+(`<scan>_<vp>` -> [36, 768], ImageFeaturesDB), imagination features +
+generated-flag JSON (v2, parser.py:188-217), sub-instruction/noun-phrase
+metadata, and a released-format torch agent-save checkpoint built from the
+LIVE reference NavCMT at full scale ({vln_bert, critic} x {epoch,
+state_dict, optimizer}, agent_cmt.py:837-852) — then runs the LITERAL
+MIGRATING.md command line
+
+    python scripts/train.py --agent hamt --eval-only --submit \
+        --init-from-reference <ckpt> --connectivity-dir ... --anno-dir ... \
+        --img-features ... --imagine-features ... --generated-flag-file ... \
+        --sub-instr-file ...
+
+in a subprocess and asserts the submission JSON matches the reference
+valid() schema (main.py:410-421).  This is the day-one drill for the moment
+the released `.pt` + MP3D artifacts appear.
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+import pytest
+import torch
+
+import test_reference_parity_hamt as PH
+from test_reference_onramp import (_critic_state_dict, _ddp,
+                                   _fake_optimizer_state)
+from vln_imagine_tpu.config import hamt_r2r_config
+from vln_imagine_tpu.envx import synthetic_world, synthetic_episodes
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+N_NODES = 12
+N_TRAIN = 4
+N_VAL = 6
+
+
+def _write_connectivity(graphs, out_dir):
+    """ScanGraph -> `<scan>_connectivity.json` in the exact MP3D schema the
+    compiler parses (image_id, included, 4x4 pose with xyz at 3/7/11,
+    unobstructed adjacency row)."""
+    os.makedirs(out_dir, exist_ok=True)
+    for g in graphs:
+        n = g.num_nodes
+        unob = [[False] * n for _ in range(n)]
+        for a, b in g.edges:
+            unob[a][b] = unob[b][a] = True
+        items = []
+        for i, vid in enumerate(g.node_ids):
+            pose = [0.0] * 16
+            pose[0] = pose[5] = pose[10] = pose[15] = 1.0
+            pose[3], pose[7], pose[11] = map(float, g.xyz[i])
+            items.append({"image_id": vid, "pose": pose, "included": True,
+                          "unobstructed": unob[i], "height": 1.5})
+        with open(os.path.join(out_dir,
+                               f"{g.scan_id}_connectivity.json"), "w") as f:
+            json.dump(items, f)
+
+
+def _write_annotations(graphs, ep, sl, anno_dir, split, path_id0):
+    """EpisodeBatch rows [sl] -> R2R_<split>_enc.json items."""
+    items = []
+    for j, b in enumerate(sl):
+        g = graphs[int(ep.scan[b])]
+        path = [g.node_ids[int(v)]
+                for v in ep.gt_path[b, : int(ep.gt_len[b])]]
+        enc = [101] + [int(t) for t in
+                       np.asarray(ep.txt_ids[b])[np.asarray(ep.txt_mask[b])]
+                       ][1:] + [102]
+        items.append({
+            "distance": float(int(ep.gt_len[b]) - 1) * 2.2,
+            "scan": g.scan_id,
+            "path_id": path_id0 + j,
+            "path": path,
+            "heading": float(ep.start_heading[b]),
+            "instructions": ["walk along the corridor and stop."],
+            "instr_encodings": [enc],
+        })
+    os.makedirs(anno_dir, exist_ok=True)
+    with open(os.path.join(anno_dir, f"R2R_{split}_enc.json"), "w") as f:
+        json.dump(items, f)
+    return [f"{it['path_id']}_0" for it in items]
+
+
+def _write_features(graphs, feat_file, rng):
+    with h5py.File(feat_file, "w") as f:
+        for g in graphs:
+            for vid in g.node_ids:
+                f.create_dataset(
+                    f"{g.scan_id}_{vid}",
+                    data=(rng.standard_normal((36, 768)) * 0.4
+                          ).astype(np.float32))
+
+
+def _write_imagination(instr_ids, imag_file, flag_file, sub_file, rng):
+    """v2 imagination features + generated-flag JSON + sub-instr/noun-phrase
+    metadata (one sub-instruction of 3 tokens, one 2-token noun phrase)."""
+    flags, subs = {}, []
+    with h5py.File(imag_file, "w") as f:
+        for iid in instr_ids:
+            n = int(rng.integers(1, 4))
+            f.create_dataset(iid, data=(rng.standard_normal((n, 768)) * 0.4
+                                        ).astype(np.float32))
+            flags[iid] = ["True"] * n
+            subs.append({
+                "instruction_id": iid,
+                "instr_segmentation_indices": [[1, 4]] * n,
+                "noun_phrase_indices": [[[2, 3]]] * n,
+            })
+    with open(flag_file, "w") as f:
+        json.dump(flags, f)
+    with open(sub_file, "w") as f:
+        json.dump(subs, f)
+
+
+@pytest.mark.slow
+def test_released_checkpoint_drill(tmp_path):
+    root = str(tmp_path)
+    conn_dir = os.path.join(root, "connectivity")
+    anno_dir = os.path.join(root, "annotations")
+    log_dir = os.path.join(root, "logs")
+    feat_file = os.path.join(root, "vit_features.hdf5")
+    imag_file = os.path.join(root, "imagine.hdf5")
+    flag_file = os.path.join(root, "generated_flags.json")
+    sub_file = os.path.join(root, "sub_instr.json")
+    ckpt = os.path.join(root, "iter_32000_SR_67.26_SPL_62.02_val_unseen")
+
+    # --- fabricate the artifact set ------------------------------------
+    cfg = hamt_r2r_config()
+    world_np, graphs = synthetic_world(
+        num_scans=2, num_nodes=N_NODES,
+        max_candidates=cfg.env.max_candidates, views=36,
+        feat_dim=768, seed=0, with_features=False)
+    ep = synthetic_episodes(
+        world_np, batch=N_TRAIN + N_VAL,
+        max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len, max_imaginations=3,
+        vocab_size=20000, feat_dim=768, seed=1)
+    rng = np.random.default_rng(2)
+    _write_connectivity(graphs, conn_dir)
+    train_ids = _write_annotations(graphs, ep, range(N_TRAIN), anno_dir,
+                                   "train", 0)
+    val_ids = _write_annotations(graphs, ep,
+                                 range(N_TRAIN, N_TRAIN + N_VAL), anno_dir,
+                                 "val_unseen", 100)
+    _write_features(graphs, feat_file, rng)
+    _write_imagination(train_ids + val_ids, imag_file, flag_file, sub_file,
+                       rng)
+
+    # --- the released agent-save checkpoint at FULL scale ---------------
+    V = PH._import_ref_hamt()
+    torch.manual_seed(41)
+    ref = V.NavCMT(PH._ref_config(cfg.model)).eval()
+    torch.save({
+        "vln_bert": {"epoch": 4, "state_dict": _ddp(ref.state_dict()),
+                     "optimizer": _fake_optimizer_state(ref)},
+        "critic": {"epoch": 4,
+                   "state_dict": _ddp(_critic_state_dict(rng)),
+                   "optimizer": {"state": {}, "param_groups": []}},
+    }, ckpt)
+    del ref
+
+    # --- the literal MIGRATING.md command line ---------------------------
+    env = dict(os.environ)
+    env.update(VLN_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # plain 1-device CPU like a user's machine
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+           "--agent", "hamt", "--eval-only", "--submit",
+           "--init-from-reference", ckpt,
+           "--connectivity-dir", conn_dir, "--anno-dir", anno_dir,
+           "--img-features", feat_file, "--imagine-features", imag_file,
+           "--generated-flag-file", flag_file, "--sub-instr-file", sub_file,
+           "--log-dir", log_dir, "--splits", "train", "val_unseen"]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                         env=env)
+    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+    assert "initialized from reference checkpoint" in res.stdout
+    assert "val_unseen:" in res.stdout and "sr=" in res.stdout
+
+    # --- submission schema == reference valid() output -------------------
+    sub_path = os.path.join(log_dir, "submit_val_unseen.json")
+    with open(sub_path) as f:
+        preds = json.load(f)
+    assert len(preds) == N_VAL
+    id_sets = {g.scan_id: set(g.node_ids) for g in graphs}
+    scan_of = {}
+    with open(os.path.join(anno_dir, "R2R_val_unseen_enc.json")) as f:
+        for it in json.load(f):
+            scan_of[f"{it['path_id']}_0"] = it["scan"]
+    assert sorted(p["instr_id"] for p in preds) == sorted(val_ids)
+    for p in preds:
+        traj = p["trajectory"]
+        assert isinstance(traj, list) and traj
+        scan = scan_of[p["instr_id"]]
+        for vp, heading, elevation in traj:  # [viewpoint, heading, elev]
+            assert vp in id_sets[scan]
+            assert -2 * math.pi <= float(heading) <= 2 * math.pi
+            assert abs(float(elevation)) <= math.pi / 2
+    # start viewpoint is the annotated path's first node
+    starts = {f"{it['path_id']}_0": it["path"][0]
+              for it in json.load(open(os.path.join(
+                  anno_dir, "R2R_val_unseen_enc.json")))}
+    for p in preds:
+        assert p["trajectory"][0][0] == starts[p["instr_id"]]
+
+    # per-item metrics file rides along (main.py:410-415)
+    with open(os.path.join(log_dir,
+                           "individual_metrics_val_unseen.json")) as f:
+        per = json.load(f)
+    assert set(per["instr_id"]) == set(val_ids)
+    for k in ("success", "spl", "nDTW"):
+        assert k in per and len(per[k]) == N_VAL

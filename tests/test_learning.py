@@ -69,6 +69,54 @@ def test_hash_tokenizer_fallback():
 
 
 @pytest.mark.slow
+def test_duet_dagger_learns_to_navigate():
+    """DUET dagger training (teacher-forced IL rollout + student-sampled
+    rollout supervised by the SPL-optimal expert, agent_base.py:185-231 /
+    agent.py:386-625 semantics) must drive SR far above the untrained
+    baseline on a memorizable synthetic world — the HAMT learning test's
+    mirror for the second flagship agent."""
+    from vln_imagine_tpu.train.trainer_duet import DuetTrainer
+
+    cfg = tiny_test_config("duet")
+    cfg = _replace(cfg, "train", lr=3e-4, iters=200, train_alg="dagger",
+                   experimental_warmup=False)
+    world_np, _ = synthetic_world(
+        num_scans=1, num_nodes=14, max_candidates=cfg.env.max_candidates,
+        views=cfg.env.views, feat_dim=cfg.model.image_feat_size, seed=0)
+    world = jax.tree.map(jnp.asarray, world_np)
+    B = 8
+    ep_np = synthetic_episodes(
+        world_np, batch=B, max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len,
+        max_imaginations=cfg.model.max_imagination_len,
+        vocab_size=cfg.model.vocab_size, feat_dim=cfg.model.hidden_size,
+        seed=1)
+    ep = jax.tree.map(jnp.asarray, ep_np)
+
+    trainer = DuetTrainer(cfg, world)
+    state = trainer.init_state(ep)
+    ts = trainer.make_train_step()
+    ev = trainer.make_eval_step()
+
+    def sr(params):
+        paths, lens = ev(params, ep, jax.random.PRNGKey(9))[:2]
+        gts = [list(ep_np.gt_path[b, :ep_np.gt_len[b]]) for b in range(B)]
+        avg, _ = eval_batch(np.asarray(world_np.dist), np.asarray(ep_np.scan),
+                            trajectories_from_rollout(np.asarray(paths),
+                                                      np.asarray(lens)), gts)
+        return avg["sr"]
+
+    sr0 = sr(state.params)
+    rng = jax.random.PRNGKey(0)
+    for i in range(150):
+        rng, k = jax.random.split(rng)
+        state, metrics = ts(state, ep, ep, k)
+    sr1 = sr(state.params)
+    assert np.isfinite(float(metrics["loss"]))
+    assert sr1 >= min(sr0 + 30, 90), (sr0, sr1)
+
+
+@pytest.mark.slow
 def test_reverie_grounding_learns():
     """NavRef-semantics REVERIE training (no_lang_ca, object segment with
     bbox positions, ob*hist head) must drive grounding accuracy far above

@@ -136,6 +136,12 @@ class TrainConfig:
     optim: str = "adamw"
     weight_decay: float = 0.0
     batch_size: int = 8
+    # Greedy-eval batch size (0 = use batch_size).  Eval is per-item
+    # independent, so large batches are pure occupancy: the per-step
+    # matmuls at bs 8 are [8*37, 768] slivers that leave the MXU mostly
+    # idle (bench.py utilization_sweep measures the curve).  The released
+    # full-scale presets set 128; tiny test configs keep 0.
+    eval_batch_size: int = 0
     iters: int = 100_000
     log_every: int = 2000
     max_grad_norm: float = 40.0
@@ -241,8 +247,11 @@ def hamt_r2r_config() -> Config:
     )
     cfg = _replace(cfg, "env", max_instr_len=60)
     # IL (teacher-forced, ml_weight) + sampled A2C per iteration
-    # (agent_cmt.py:807-832, feedback='sample')
-    cfg = _replace(cfg, "train", train_alg="sample")
+    # (agent_cmt.py:807-832, feedback='sample').  eval_batch_size: greedy
+    # eval is per-item independent, so a big batch is pure MXU occupancy
+    # (bench.py utilization_sweep; the reference evaluates at train bs 8,
+    # main.py:329-344, because its rollout is a host python loop)
+    cfg = _replace(cfg, "train", train_alg="sample", eval_batch_size=128)
     return cfg
 
 
@@ -256,7 +265,8 @@ def duet_r2r_config() -> Config:
         fix_lang_inside_cosine_model=True, fusion="dynamic",
     )
     cfg = _replace(cfg, "env", max_instr_len=200)
-    cfg = _replace(cfg, "train", train_alg="dagger", gamma=0.0)
+    cfg = _replace(cfg, "train", train_alg="dagger", gamma=0.0,
+                   eval_batch_size=128)
     return cfg
 
 

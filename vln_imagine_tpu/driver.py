@@ -272,8 +272,15 @@ class FinetuneDriver:
     # ------------------------------------------------------------------ eval
     def validate(self, split: SplitData, batch_size: int | None = None,
                  write_outputs: bool = False) -> dict:
-        bs = batch_size or self.cfg.train.batch_size
+        bs = (batch_size or self.cfg.train.eval_batch_size
+              or self.cfg.train.batch_size)
         n = split.episodes.scan.shape[0]
+        # a batch bigger than the split only pads compute (EvalSampler wraps)
+        bs = max(min(bs, n), 1)
+        if self.mesh is not None:
+            # keep the leading axis shardable over the data axis
+            n_data = self.mesh.shape["data"]
+            bs = max(bs // n_data * n_data, n_data)
         paths, gts, scans, kept_ids, kept_idx = [], [], [], [], []
         extra = []  # pred_obj (reverie/soon) or declared midstop (r2r_back)
         details = []  # per-item {node: stop_score} (--detailed_output)

@@ -87,6 +87,7 @@ def rollout_duet(
     critic_params: Any = None,
     train_rl: bool = False,
     early_exit: bool = False,
+    unroll: bool = False,
 ) -> DuetRolloutResult:
     # A2C for DUET: the reference declares a `train_alg='rl'` dispatch and a
     # Critic (agent_base.py:213-220, agent.py:34) but its rollout ignores
@@ -621,7 +622,10 @@ def rollout_duet(
     # instead (standard TPU FLOPs-for-HBM trade).
     body = jax.checkpoint(step_fn) if (train_ml is not None or train_rl) \
         else step_fn
-    carry, ys = jax.lax.scan(body, carry0, jnp.arange(T))
+    # unroll: see rollout_hamt — bench.py FLOP accounting only (HLO cost
+    # analysis counts a loop body once; the unrolled graph makes it exact)
+    carry, ys = jax.lax.scan(body, carry0, jnp.arange(T),
+                             unroll=T if unroll else 1)
     (stT, gmT, _, pathT, plenT, _, _, _, _, pred_objT, ml_acc, og_acc,
      ent_acc, _) = carry
     pathT = pathT.at[:, -1].set(0)  # trash column: deterministic output

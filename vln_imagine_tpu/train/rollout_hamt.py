@@ -94,6 +94,7 @@ def rollout_hamt(
     max_steps: int | None = None,
     early_exit: bool = False,
     il_mask: jax.Array | None = None,
+    unroll: bool = False,
 ) -> RolloutResult:
     if feedback in ("teacher", "argmax"):
         train_rl = False
@@ -368,7 +369,12 @@ def rollout_hamt(
             entropy_sum=ent_acc, midstop=midstop_pred,
             og_loss=jnp.asarray(0.0), pred_obj=obj_pred)
 
-    carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T))
+    # unroll: emit T copies of the step body instead of one while-loop body —
+    # only used by bench.py's FLOP accounting (HLO cost analysis counts a
+    # loop body ONCE regardless of trip count, so exact per-program FLOPs
+    # need the unrolled graph); the compiled math is identical
+    carry, ys = jax.lax.scan(step_fn, carry0, jnp.arange(T),
+                             unroll=T if unroll else 1)
     (stateT, hist_bufT, hist_lenT, _, _, _, _, midstop_pred, obj_pred,
      ml_acc, og_acc, ent_acc, _) = carry
     logits_seq, actions, logps, entropys, states, rewards, masks = ys
