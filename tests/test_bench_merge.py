@@ -1,0 +1,113 @@
+"""bench.py full-run measurement cache: a budgeted run may merge lanes it
+could not fit from this round's unbudgeted `bench.py --full` run — but only
+when the code hash matches, and every merged field must be named.
+
+The driver runs `python bench.py` under a ~520 s soft budget; the full lane
+set (extras + flops + utilization sweep) takes far longer than that even
+with a warm XLA compile cache, so the complete artifact is captured once
+per round by `--full` and merged in, explicitly labeled.  (The reference
+has no benchmark at all — VLN-HAMT/finetune_src/r2r/main.py:395-398 prints
+per-val-env wall time only.)
+"""
+
+import importlib.util
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _record(**over):
+    rec = {
+        "metric": "hamt_eval_episodes_per_sec_per_chip",
+        "value": 350.0,
+        "unit": "episodes/s",
+        "vs_baseline": None,
+        "baseline": {"ours_tpu_fixed_horizon_eps_per_sec": None,
+                     "reference_torch_cpu_eps_per_sec": None},
+        "extras": {"duet_eval_episodes_per_sec_per_chip": None,
+                   "hamt_train_step_ms": 170.0},
+        "utilization_sweep": None,
+    }
+    rec.update(over)
+    return rec
+
+
+def _full(bench, tmp_path, code_hash, **rec_over):
+    full = {
+        "captured_at": "2026-08-19T18:00:00+00:00",
+        "code_hash": code_hash,
+        "record": _record(
+            value=341.0, vs_baseline=551.0,
+            baseline={"ours_tpu_fixed_horizon_eps_per_sec": 340.1,
+                      "reference_torch_cpu_eps_per_sec": 0.618},
+            extras={"duet_eval_episodes_per_sec_per_chip": 725.6,
+                    "hamt_train_step_ms": 171.0},
+            utilization_sweep={"hamt": [{"batch": 8, "mfu": 0.03}]},
+            **rec_over),
+    }
+    p = tmp_path / "bench_full.json"
+    p.write_text(json.dumps(full))
+    return p
+
+
+def test_merges_only_missing_fields(bench, tmp_path, monkeypatch):
+    p = _full(bench, tmp_path, bench._code_hash())
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    rec = bench._merge_full_run(_record())
+    # live measurements are never overwritten
+    assert rec["value"] == 350.0
+    assert rec["extras"]["hamt_train_step_ms"] == 170.0
+    # budget-cut fields are filled from the full run
+    assert rec["vs_baseline"] == 551.0
+    assert rec["extras"]["duet_eval_episodes_per_sec_per_chip"] == 725.6
+    assert rec["baseline"]["reference_torch_cpu_eps_per_sec"] == 0.618
+    assert rec["utilization_sweep"] == {"hamt": [{"batch": 8, "mfu": 0.03}]}
+    # and every merged field is named with provenance
+    prov = rec["merged_from_full_run"]
+    assert prov["captured_at"] == "2026-08-19T18:00:00+00:00"
+    assert set(prov["fields"]) == {
+        "vs_baseline", "utilization_sweep",
+        "extras.duet_eval_episodes_per_sec_per_chip",
+        "baseline.ours_tpu_fixed_horizon_eps_per_sec",
+        "baseline.reference_torch_cpu_eps_per_sec"}
+
+
+def test_stale_code_hash_merges_nothing(bench, tmp_path, monkeypatch):
+    p = _full(bench, tmp_path, "deadbeef00000000")
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    rec = bench._merge_full_run(_record())
+    assert rec["vs_baseline"] is None
+    assert "merged_from_full_run" not in rec
+
+
+def test_missing_full_run_is_noop(bench, tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH",
+                        str(tmp_path / "nope.json"))
+    rec = bench._merge_full_run(_record())
+    assert rec == _record()
+
+
+def test_complete_record_gets_no_provenance_block(bench, tmp_path,
+                                                  monkeypatch):
+    p = _full(bench, tmp_path, bench._code_hash())
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    done = _record(
+        vs_baseline=540.0,
+        baseline={"ours_tpu_fixed_horizon_eps_per_sec": 339.0,
+                  "reference_torch_cpu_eps_per_sec": 0.62},
+        extras={"duet_eval_episodes_per_sec_per_chip": 726.0,
+                "hamt_train_step_ms": 170.0},
+        utilization_sweep={"hamt": []})
+    rec = bench._merge_full_run(dict(done))
+    assert rec == done
