@@ -724,8 +724,8 @@ def main(full: bool = False):
     T_FULL = 15  # max_action_len in both released presets
     peak_f, peak_b = None, None
     sweep = {}
-    for agent_name, sizes in (("hamt", (8, 32, 128, 512)),
-                              ("duet", (8, 128))):
+    for agent_name, sizes in (("hamt", (8, 32, 64, 128, 512)),
+                              ("duet", (8, 32, 64, 128))):
         cost_model = None
         costs = {}
         for cb in (8, 32):

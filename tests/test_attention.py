@@ -165,3 +165,56 @@ def test_hash_mask_keep_rate():
     keep = (m > 0).mean()
     assert abs(keep - 0.7) < 0.02
     np.testing.assert_allclose(m[m > 0], 1.0 / 0.7, rtol=1e-6)
+
+
+# ---------------------------------------------------------------- path gate
+# MHAttention routes per call (models/bert.py): deterministic (eval) calls
+# always take the transpose-free packed-QKV XLA path (measured faster at
+# every batch size once QKV was packed); the pallas kernel serves
+# dropout-active training calls below the batch cutoff, where in-kernel
+# probs dropout keeps attention fused.
+
+def test_attention_path_gate(monkeypatch):
+    import dataclasses
+
+    from vln_imagine_tpu.config import ModelConfig
+    from vln_imagine_tpu.models.bert import MHAttention
+    from vln_imagine_tpu.ops import attention as ops_attention
+
+    cfg = ModelConfig(hidden_size=32, num_attention_heads=4,
+                      intermediate_size=64, compute_dtype="float32",
+                      attention_probs_dropout_prob=0.1,
+                      use_pallas_attention=True,
+                      pallas_attention_batch_cutoff=4)
+    calls = []
+    real = ops_attention.fused_attention
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape[0])
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ops_attention, "fused_attention", spy)
+    rng = np.random.default_rng(0)
+    x_small = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    x_large = jnp.asarray(rng.standard_normal((4, 6, 32)), jnp.float32)
+
+    def run(cfg, x, train=False):
+        mod = MHAttention(cfg)
+        params = mod.init(jax.random.PRNGKey(0), x, x)
+        if train:
+            return mod.apply(params, x, x, None, False,
+                             rngs={"dropout": jax.random.PRNGKey(1)})
+        return mod.apply(params, x, x)
+
+    run(cfg, x_small)
+    assert calls == [], "deterministic calls must take the XLA path"
+    run(cfg, x_small, train=True)
+    assert calls == [2], "dropout-active below the cutoff must take pallas"
+    calls.clear()
+    run(cfg, x_large, train=True)
+    assert calls == [], "dropout-active at/above the cutoff must take XLA"
+    # the gated eval program IS the pallas-off program, bit for bit
+    out_gated = run(cfg, x_large)
+    out_off = run(dataclasses.replace(cfg, use_pallas_attention=False),
+                  x_large)
+    np.testing.assert_array_equal(np.asarray(out_gated), np.asarray(out_off))

@@ -99,11 +99,18 @@ class ModelConfig:
     # Numerics: params always f32; matmul/attention compute dtype.
     compute_dtype: str = "bfloat16"
     # Fused pallas attention (TPU only; self-gates on backend + shape
-    # support and falls back to the XLA path elsewhere).  Measured ~7%
-    # faster end-to-end greedy-eval throughput at reference shapes (bs 8,
-    # 370 vs 345 eps/s on v5e); the persistent compile cache amortizes the
-    # extra per-shape kernel compiles.
+    # support and falls back to the XLA path elsewhere).  Since the QKV
+    # projections were packed into one matmul the transpose-free XLA path
+    # wins every deterministic (eval) call at every batch size (measured
+    # full-rollout A/B on v5e, see README Performance), so the kernel is
+    # used only for dropout-active training calls, where drawing the
+    # probs-dropout mask from the TPU per-core PRNG inside the kernel keeps
+    # attention fused (models/bert.py MHAttention gates per call).
     use_pallas_attention: bool = True
+    # Even for dropout-active calls, above this batch the relayout
+    # transposes around the fused kernel cost more than the in-kernel
+    # dropout saves; batches at or above the cutoff take the XLA path.
+    pallas_attention_batch_cutoff: int = 64
 
     @property
     def head_dim(self) -> int:
@@ -248,10 +255,12 @@ def hamt_r2r_config() -> Config:
     cfg = _replace(cfg, "env", max_instr_len=60)
     # IL (teacher-forced, ml_weight) + sampled A2C per iteration
     # (agent_cmt.py:807-832, feedback='sample').  eval_batch_size: greedy
-    # eval is per-item independent, so a big batch is pure MXU occupancy
-    # (bench.py utilization_sweep; the reference evaluates at train bs 8,
-    # main.py:329-344, because its rollout is a host python loop)
-    cfg = _replace(cfg, "train", train_alg="sample", eval_batch_size=128)
+    # eval is per-item independent, so batching is pure occupancy; 64 is
+    # the measured throughput peak of the fixed-horizon rollout on v5e
+    # (full-rollout sweep 8/32/64/128 -> 372/460/476/442 eps/s; bench.py
+    # utilization_sweep tracks the curve.  The reference evaluates at
+    # train bs 8, main.py:329-344, because its rollout is a host loop)
+    cfg = _replace(cfg, "train", train_alg="sample", eval_batch_size=64)
     return cfg
 
 

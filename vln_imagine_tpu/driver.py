@@ -112,8 +112,11 @@ class FinetuneDriver:
 
     # ------------------------------------------------------------------ init
     def setup(self, init_params: Any | None = None):
+        # shapes-only example batch; wrap when the split is smaller than
+        # the batch (e.g. --eval-only drills over a handful of episodes)
         example = _take(self.train_split.episodes,
-                        np.arange(self.cfg.train.batch_size))
+                        np.arange(self.cfg.train.batch_size)
+                        % self.train_split.episodes.scan.shape[0])
         self.state = self.trainer.init_state(example)
         if init_params is not None:
             self.state = self.state.replace(params=init_params)

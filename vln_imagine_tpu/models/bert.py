@@ -143,7 +143,18 @@ class MHAttention(nn.Module):
 
         drop_active = cfg.attention_probs_dropout_prob > 0.0 and not deterministic
         rng = self.make_rng("dropout") if drop_active else None
-        if cfg.use_pallas_attention:
+        # Path choice, measured full-rollout on v5e at reference scale (see
+        # README Performance): with the QKV projections packed into one
+        # matmul, the transpose-free XLA path wins every deterministic
+        # (eval) call at every batch size, so the pallas kernel is reserved
+        # for dropout-active (training) calls — there the in-kernel probs
+        # dropout keeps attention fused where the XLA path materializes the
+        # probs for the dropout mask.  Above the batch cutoff the
+        # [B,L,h,d]->[B,h,L,d] relayout transposes around the kernel cost
+        # more than that fusion saves (shapes are static under jit, so both
+        # conditions are trace-time branches).
+        if (cfg.use_pallas_attention and drop_active
+                and hidden.shape[0] < cfg.pallas_attention_batch_cutoff):
             # dropout-active calls stay fused: the kernel draws the probs-
             # dropout mask from the TPU per-core PRNG (ops/attention.py)
             from vln_imagine_tpu.ops.attention import fused_attention
