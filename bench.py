@@ -262,6 +262,95 @@ class _AgentLane:
             dt = _time_fn(fn, iters)
         return dt * 1000.0
 
+    def _fixed_train_step(self, T: int, unroll: bool = False,
+                          pallas: bool = True):
+        """A jitted train step (fwd + bwd + optimizer update) whose BOTH
+        rollouts run a uniform fixed horizon T, mirroring the product loss
+        structure (trainer.py:100-153 / trainer_duet.py:102-148: teacher IL
+        rollout + sampled RL/dagger rollout) but with one horizon so
+        cost(T) = prologue + T*body holds for unrolled-program differencing
+        (same method as unrolled_costs)."""
+        import optax
+
+        from vln_imagine_tpu.config import _replace
+        from vln_imagine_tpu.train.rollout_duet import rollout_duet
+        from vln_imagine_tpu.train.rollout_hamt import rollout_hamt
+
+        cfg = self.trainer.cfg
+        if not pallas:
+            cfg = _replace(cfg, "model", use_pallas_attention=False)
+        shadow = type(self.trainer)(cfg, self.world)
+        shadow.tx = shadow._tx_builder(self.state.params)
+        tx, world = shadow.tx, self.world
+
+        if self.agent == "hamt":
+            model, critic, critic_tx = (shadow.model, shadow.critic,
+                                        shadow.critic_tx)
+
+            def loss_fn(params, critic_params, ep, rng):
+                r1, r2 = jax.random.split(rng)
+                res_il = rollout_hamt(
+                    model, critic, params, critic_params, world, ep, cfg, r1,
+                    feedback="teacher", train_ml=cfg.train.ml_weight,
+                    train_rl=False, deterministic=False, max_steps=T,
+                    unroll=unroll)
+                res_rl = rollout_hamt(
+                    model, critic, params, critic_params, world, ep, cfg, r2,
+                    feedback="sample", train_ml=None, train_rl=True,
+                    deterministic=False, max_steps=T, unroll=unroll)
+                return res_il.loss + res_rl.loss
+
+            @jax.jit
+            def step(state, ep, rng):
+                loss, (g, gc) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+                    state.params, state.critic_params, ep, rng)
+                updates, _ = tx.update(g, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                c_up, _ = critic_tx.update(gc, state.critic_opt_state,
+                                           state.critic_params)
+                cparams = optax.apply_updates(state.critic_params, c_up)
+                return loss, params, cparams
+        else:
+            model = shadow.model
+
+            def loss_fn(params, ep, rng):
+                r1, r2 = jax.random.split(rng)
+                res_il = rollout_duet(
+                    model, params, world, ep, cfg, r1, feedback="teacher",
+                    train_ml=cfg.train.ml_weight, deterministic=False,
+                    max_steps=T, unroll=unroll)
+                res_dg = rollout_duet(
+                    model, params, world, ep, cfg, r2, feedback="sample",
+                    train_ml=1.0, deterministic=False, max_steps=T,
+                    unroll=unroll)
+                return res_il.loss + res_dg.loss
+
+            @jax.jit
+            def step(state, ep, rng):
+                loss, g = jax.value_and_grad(loss_fn)(state.params, ep, rng)
+                updates, _ = tx.update(g, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
+                return loss, params
+        return step
+
+    def train_fixed_ms(self, iters: int = 8, T: int = STEPS) -> float:
+        """Wall ms/step of the fixed-horizon train program (the timing half
+        of the train-MFU measurement; pair with train_unrolled_costs)."""
+        with jax.default_device(self.dev):
+            step = self._fixed_train_step(T=T)
+            rng = jax.random.PRNGKey(2)
+            dt = _time_fn(
+                lambda i: step(self.state, self.ep,
+                               jax.random.fold_in(rng, i)), iters)
+        return dt * 1000.0
+
+    def train_unrolled_costs(self, T: int):
+        """(flops, bytes) of the fixed-horizon train program unrolled to T
+        steps (pallas off so HLO cost analysis counts the attention math).
+        Compiled, never executed."""
+        fn = self._fixed_train_step(T=T, unroll=True, pallas=False)
+        return _program_costs(fn, self.state, self.ep, jax.random.PRNGKey(2))
+
 
 def measure_reference_torch_cpu(max_seconds: float = 150.0):
     """Greedy-eval episodes/sec of the ACTUAL reference torch NavCMT on this
@@ -443,13 +532,14 @@ def _emit_partial(signum=None, frame=None):
                 f"stages done: {sorted(_partial)}",
     }
     try:
-        record = _merge_full_run(record)
+        record = _merge_full_run(record, _partial.get("device_kind"))
     except Exception:
         pass
     print(json.dumps(record), flush=True)
-    # a mid-run tunnel stall is environmental: the JSON above is the
-    # complete record of what was measured, so exit clean either way
-    os._exit(0)
+    # exit clean only when a headline value was actually measured; a stall
+    # before any measurement is a failed run (the JSON flags carry the
+    # environmental context either way)
+    os._exit(0 if _partial.get("value") is not None else 2)
 
 
 def _enable_cache():
@@ -485,18 +575,36 @@ def _code_hash():
     return h.hexdigest()[:16]
 
 
-def _merge_full_run(record):
+MERGE_MAX_AGE_DAYS = 14
+
+
+def _merge_full_run(record, device_kind=None):
     """Fill lanes the soft budget cut with measurements from this round's
     unbudgeted `bench.py --full` run of the SAME code on the SAME chip
     (bench_full.json).  Every merged field is named in
     record['merged_from_full_run'] with the capture timestamp — nothing is
-    fabricated, it is a measurement cache keyed on the code hash."""
+    fabricated, it is a measurement cache keyed on (code hash, device kind)
+    with a capture-age bound."""
     try:
         with open(_FULL_RUN_PATH) as f:
             full = json.load(f)
     except Exception:
         return record
     if full.get("code_hash") != _code_hash():
+        return record
+    # SAME-chip guard: the full run records its device_kind; refuse to merge
+    # when it is absent or doesn't match the chip this run just probed
+    if not full.get("device_kind") or (device_kind is not None and
+                                       full["device_kind"] != device_kind):
+        return record
+    try:
+        import datetime
+
+        captured = datetime.datetime.fromisoformat(full["captured_at"])
+        age = datetime.datetime.now(datetime.timezone.utc) - captured
+        if age > datetime.timedelta(days=MERGE_MAX_AGE_DAYS):
+            return record
+    except Exception:
         return record
     src = full.get("record", {})
     merged = []
@@ -514,10 +622,19 @@ def _merge_full_run(record):
             record.setdefault(key, {})
             if isinstance(record[key], dict):
                 fill(record[key], src[key], key + ".")
-    for key in ("vs_baseline", "utilization_sweep"):
-        if record.get(key) is None and src.get(key) is not None:
-            record[key] = src[key]
-            merged.append(key)
+    if record.get("utilization_sweep") is None and \
+            src.get("utilization_sweep") is not None:
+        record["utilization_sweep"] = src["utilization_sweep"]
+        merged.append("utilization_sweep")
+    # vs_baseline is fixed_horizon/torch_cpu: merge it only when BOTH of its
+    # inputs also come from the full run (otherwise the ratio would mix this
+    # run's numbers with the cache's)
+    if (record.get("vs_baseline") is None
+            and src.get("vs_baseline") is not None
+            and "baseline.ours_tpu_fixed_horizon_eps_per_sec" in merged
+            and "baseline.reference_torch_cpu_eps_per_sec" in merged):
+        record["vs_baseline"] = src["vs_baseline"]
+        merged.append("vs_baseline")
     if merged:
         record["merged_from_full_run"] = {
             "captured_at": full.get("captured_at"),
@@ -548,7 +665,8 @@ def _lane_main(lane: str):
         x = jax.device_put(jnp.arange(8.0))
         jax.block_until_ready(x + 1.0)
         out = {"lane": lane, "ok": True,
-               "platform": jax.devices()[0].platform}
+               "platform": jax.devices()[0].platform,
+               "device_kind": jax.devices()[0].device_kind}
     elif lane == "torch_cpu":
         _force_cpu()
         out = {"lane": lane,
@@ -559,8 +677,10 @@ def _lane_main(lane: str):
                "value": _AgentLane("hamt", device="cpu").eval_eps(
                    2, fixed_horizon=True)}
     elif lane == "hamt_fixed":
+        iters = int(os.environ.get("VLN_FIXED_ITERS", "10"))
         out = {"lane": lane,
-               "value": _AgentLane("hamt").eval_eps(10, fixed_horizon=True)}
+               "value": _AgentLane("hamt").eval_eps(iters,
+                                                    fixed_horizon=True)}
     elif lane == "hamt_train":
         out = {"lane": lane, "value": _AgentLane("hamt").train_ms()}
     elif lane == "duet_eval":
@@ -579,6 +699,24 @@ def _lane_main(lane: str):
         out = {"lane": lane, "value": f2, "batch": int(bs),
                "flops_t1": f1, "flops_t2": f2,
                "bytes_t1": b1, "bytes_t2": b2}
+    elif lane.startswith("trainflops:"):
+        # trainflops:<agent>:<batch> — cost analysis of the fixed-horizon
+        # TRAIN program (fwd+bwd+update) unrolled to 1 and 2 steps
+        _, agent_name, bs = lane.split(":")
+        al = _AgentLane(agent_name, batch=int(bs))
+        f1, b1 = al.train_unrolled_costs(1)
+        f2, b2 = al.train_unrolled_costs(2)
+        out = {"lane": lane, "value": f2, "batch": int(bs),
+               "flops_t1": f1, "flops_t2": f2,
+               "bytes_t1": b1, "bytes_t2": b2}
+    elif lane.startswith("trainfixed:"):
+        # trainfixed:<agent>:<batch> — ms/step of the fixed-horizon train
+        # program (the timing half of the train-MFU point)
+        _, agent_name, bs = lane.split(":")
+        bs = int(bs)
+        al = _AgentLane(agent_name, batch=bs)
+        ms = al.train_fixed_ms(iters=max(3, min(8, 256 // bs)))
+        out = {"lane": lane, "value": ms, "batch": bs, "program_ms": ms}
     elif lane.startswith("sweep:"):
         # sweep:<agent>:<batch> — fixed-horizon eval throughput at one
         # batch size (MFU/bytes are derived in main() from the flops: lanes)
@@ -610,7 +748,8 @@ def _run_lane(lane: str, timeout_s: float, seconds: float | None = None):
         for line in reversed(res.stdout.strip().splitlines()):
             if line.startswith("{"):
                 parsed = json.loads(line)
-                if lane == "probe" or lane.startswith(("sweep:", "flops:")):
+                if lane == "probe" or lane.startswith(
+                        ("sweep:", "flops:", "trainflops:", "trainfixed:")):
                     return parsed
                 return parsed.get("value")
     except Exception as e:  # noqa: BLE001 - bench must always print
@@ -667,17 +806,23 @@ def main(full: bool = False):
             },
         }
         print(json.dumps(record), flush=True)
-        # a dead tunnel is environmental, not a bench fault: the fallback
-        # artifact above is complete and well-formed, so exit clean
-        raise SystemExit(0)
+        # no headline value was measured: exit nonzero so callers keying on
+        # status see a failed run; the JSON's tunnel_down flag carries the
+        # environmental context
+        raise SystemExit(2)
     mark(f"device probe ok ({probe.get('platform')})")
+
+    _partial["device_kind"] = probe.get("device_kind")
 
     # 1. the headline metric, alone in this process: the product eval path
     # (early-exit while_loop).  Everything else runs in its own subprocess
     # so tunnel program-interleave cannot depress any steady state.
+    # Budgeted runs use 8 iterations (the per-iteration value is stable and
+    # compile dominates the lane's wall time; BENCH_r04 spent ~300 s here
+    # and starved every other lane); --full keeps 20.
     hamt = _AgentLane("hamt")
     mark("hamt lane ready")
-    value = hamt.eval_eps(20)
+    value = hamt.eval_eps(20 if full else 8)
     _partial["value"] = round(value, 2)
     mark("hamt eval done")
 
@@ -685,16 +830,22 @@ def main(full: bool = False):
     # vs_baseline ratio (early exit depends on where the random-weight
     # policy happens to stop; fixed horizon is stable work), then the torch
     # reference anchor.  Both lanes gate the headline ratio, so they come
-    # before the extras.
+    # before the extras, and the torch anchor keeps a RESERVED minimum the
+    # fixed-horizon lane's timeout cannot eat.
+    TORCH_RESERVE = 90.0
     fixed_eps = None
     if left() > 120:
-        fixed_eps = _run_lane("hamt_fixed", timeout_s=left() - 60)
+        if not full:
+            os.environ.setdefault("VLN_FIXED_ITERS", "5")
+        fixed_eps = _run_lane(
+            "hamt_fixed",
+            timeout_s=max(min(left() - TORCH_RESERVE, 300), 150))
         mark("hamt fixed-horizon eval done")
     torch_cpu_eps = None
     jax_cpu_eps = None
-    if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1" and left() > 60:
+    if os.environ.get("VLN_BENCH_SKIP_BASELINE") != "1" and left() > 30:
         torch_cpu_eps = _run_lane(
-            "torch_cpu", timeout_s=left(),
+            "torch_cpu", timeout_s=max(left(), 45),
             seconds=min(60.0, max(left() - 20.0, 20.0)))
         if torch_cpu_eps:
             _partial["vs_baseline"] = round(
@@ -759,6 +910,44 @@ def main(full: bool = False):
                                                 if flops and byts else None)
                 sweep.setdefault(agent_name, []).append(point)
             mark(f"sweep {agent_name} bs={bs} done")
+    # 4b. train-step cost analysis: the fixed-horizon TRAIN program (fwd +
+    # bwd + optimizer update, both rollouts at T=15) timed and cost-modelled
+    # the same way, so the sweep answers "is TRAINING efficient" too.  The
+    # trainflops lanes unroll to 1 and 2 steps; c(2)-c(1) counts one extra
+    # body of BOTH rollouts, so cost_model(B, 15) is the full program.
+    for agent_name in ("hamt", "duet"):
+        costs = {}
+        for cb in (8, 32):
+            if left() < 200:
+                break
+            got = _run_lane(f"trainflops:{agent_name}:{cb}",
+                            timeout_s=left())
+            if got and got.get("flops_t1") and got.get("flops_t2"):
+                costs[cb] = got
+            mark(f"trainflops {agent_name} B={cb} done")
+        cost_model = _make_cost_model(costs) if costs else None
+        for bs in (8, 64):
+            if left() < 150:
+                break
+            got = _run_lane(f"trainfixed:{agent_name}:{bs}",
+                            timeout_s=left())
+            if got and got.get("value"):
+                dt = got["value"] / 1e3
+                point = {"batch": bs, "step_ms": round(got["value"], 1)}
+                if cost_model and dt > 0:
+                    if peak_f is None:
+                        peak_f, peak_b = _chip_peaks()
+                    flops, byts = cost_model(bs, T_FULL)
+                    point["flops"] = flops
+                    point["bytes_accessed"] = byts
+                    point["mfu"] = (round(flops / dt / peak_f, 4)
+                                    if flops and peak_f else None)
+                    point["hbm_util"] = (round(byts / dt / peak_b, 4)
+                                         if byts and peak_b else None)
+                    point["arith_intensity"] = (round(flops / byts, 2)
+                                                if flops and byts else None)
+                sweep.setdefault(f"{agent_name}_train", []).append(point)
+            mark(f"trainfixed {agent_name} bs={bs} done")
     if left() > 60:
         jax_cpu_eps = _run_lane("jax_cpu", timeout_s=left())
         mark("jax-cpu anchor done")
@@ -767,6 +956,7 @@ def main(full: bool = False):
         "metric": "hamt_eval_episodes_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "episodes/s",
+        "device_kind": probe.get("device_kind"),
         # measured like-for-like: our fixed-horizon chip throughput vs the
         # actual torch reference at the same fixed horizon on this host CPU
         # (falls back to the early-exit headline if fixed-horizon timed out)
@@ -816,9 +1006,10 @@ def main(full: bool = False):
                        datetime.datetime.now(datetime.timezone.utc)
                        .isoformat(timespec="seconds"),
                        "code_hash": _code_hash(),
+                       "device_kind": probe.get("device_kind"),
                        "record": record}, f, indent=1)
     else:
-        record = _merge_full_run(record)
+        record = _merge_full_run(record, probe.get("device_kind"))
     print(json.dumps(record))
 
 

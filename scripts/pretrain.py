@@ -230,16 +230,30 @@ def main():
 
         from vln_imagine_tpu.ckpt.convert import (convert_state_dict,
                                                   vit_torch_to_flax_path)
-        sd = torch.load(args.vit_init, map_location="cpu")
+        # weights_only: a checkpoint path is untrusted input; never let
+        # torch.load unpickle arbitrary objects from it
+        sd = torch.load(args.vit_init, map_location="cpu",
+                        weights_only=True)
         for key in ("state_dict", "model", "module"):
             if isinstance(sd, dict) and isinstance(sd.get(key), dict):
                 sd = sd[key]
         tree, skipped = convert_state_dict(sd, vit_torch_to_flax_path)
         cur_vit = state.params["params"]["vit"]
-        # tree-structure equality is the shape check: a mismatched ViT
-        # geometry (patch/hidden/layers) fails here, not silently
-        new_vit = jax.tree.map(lambda c, s: jnp.asarray(s, dtype=c.dtype),
-                               cur_vit, tree["params"])
+
+        def _graft(path, c, s):
+            # tree.map only checks tree STRUCTURE; a same-depth ViT with a
+            # different image_size/pos-embed length would otherwise load
+            # here and fail later with an opaque apply-time error
+            if tuple(c.shape) != tuple(s.shape):
+                name = jax.tree_util.keystr(path)
+                raise ValueError(
+                    f"--vit-init shape mismatch at {name}: checkpoint "
+                    f"{tuple(s.shape)} vs model {tuple(c.shape)} (wrong "
+                    "image_size / patch geometry?)")
+            return jnp.asarray(s, dtype=c.dtype)
+
+        new_vit = jax.tree_util.tree_map_with_path(
+            _graft, cur_vit, tree["params"])
         params = dict(state.params)
         params["params"] = dict(params["params"], vit=new_vit)
         state = state.replace(params=params)

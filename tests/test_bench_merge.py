@@ -1,6 +1,7 @@
 """bench.py full-run measurement cache: a budgeted run may merge lanes it
 could not fit from this round's unbudgeted `bench.py --full` run — but only
-when the code hash matches, and every merged field must be named.
+when the code hash AND device kind match and the capture is recent, and
+every merged field must be named.
 
 The driver runs `python bench.py` under a ~520 s soft budget; the full lane
 set (extras + flops + utilization sweep) takes far longer than that even
@@ -10,11 +11,20 @@ has no benchmark at all — VLN-HAMT/finetune_src/r2r/main.py:395-398 prints
 per-val-env wall time only.)
 """
 
+import datetime
 import importlib.util
 import json
 import sys
 
 import pytest
+
+KIND = "TPU v5 lite"
+
+
+def _now_iso(days_ago: float = 0.0) -> str:
+    t = datetime.datetime.now(datetime.timezone.utc) - datetime.timedelta(
+        days=days_ago)
+    return t.isoformat(timespec="seconds")
 
 
 @pytest.fixture(scope="module")
@@ -43,10 +53,12 @@ def _record(**over):
     return rec
 
 
-def _full(bench, tmp_path, code_hash, **rec_over):
+def _full(bench, tmp_path, code_hash, captured_at=None, device_kind=KIND,
+          **rec_over):
     full = {
-        "captured_at": "2026-08-19T18:00:00+00:00",
+        "captured_at": captured_at or _now_iso(),
         "code_hash": code_hash,
+        "device_kind": device_kind,
         "record": _record(
             value=341.0, vs_baseline=551.0,
             baseline={"ours_tpu_fixed_horizon_eps_per_sec": 340.1,
@@ -64,7 +76,7 @@ def _full(bench, tmp_path, code_hash, **rec_over):
 def test_merges_only_missing_fields(bench, tmp_path, monkeypatch):
     p = _full(bench, tmp_path, bench._code_hash())
     monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
-    rec = bench._merge_full_run(_record())
+    rec = bench._merge_full_run(_record(), KIND)
     # live measurements are never overwritten
     assert rec["value"] == 350.0
     assert rec["extras"]["hamt_train_step_ms"] == 170.0
@@ -75,7 +87,7 @@ def test_merges_only_missing_fields(bench, tmp_path, monkeypatch):
     assert rec["utilization_sweep"] == {"hamt": [{"batch": 8, "mfu": 0.03}]}
     # and every merged field is named with provenance
     prov = rec["merged_from_full_run"]
-    assert prov["captured_at"] == "2026-08-19T18:00:00+00:00"
+    assert prov["captured_at"] == json.loads(p.read_text())["captured_at"]
     assert set(prov["fields"]) == {
         "vs_baseline", "utilization_sweep",
         "extras.duet_eval_episodes_per_sec_per_chip",
@@ -86,15 +98,54 @@ def test_merges_only_missing_fields(bench, tmp_path, monkeypatch):
 def test_stale_code_hash_merges_nothing(bench, tmp_path, monkeypatch):
     p = _full(bench, tmp_path, "deadbeef00000000")
     monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
-    rec = bench._merge_full_run(_record())
+    rec = bench._merge_full_run(_record(), KIND)
     assert rec["vs_baseline"] is None
     assert "merged_from_full_run" not in rec
+
+
+def test_device_kind_mismatch_merges_nothing(bench, tmp_path, monkeypatch):
+    p = _full(bench, tmp_path, bench._code_hash(), device_kind="TPU v4")
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    rec = bench._merge_full_run(_record(), KIND)
+    assert "merged_from_full_run" not in rec
+
+
+def test_missing_device_kind_merges_nothing(bench, tmp_path, monkeypatch):
+    # pre-guard artifacts (no device_kind) are refused outright, even when
+    # the current run cannot name its own chip
+    p = _full(bench, tmp_path, bench._code_hash(), device_kind=None)
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    assert "merged_from_full_run" not in bench._merge_full_run(_record(), KIND)
+    assert "merged_from_full_run" not in bench._merge_full_run(_record(), None)
+
+
+def test_stale_capture_merges_nothing(bench, tmp_path, monkeypatch):
+    p = _full(bench, tmp_path, bench._code_hash(),
+              captured_at=_now_iso(days_ago=bench.MERGE_MAX_AGE_DAYS + 1))
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    rec = bench._merge_full_run(_record(), KIND)
+    assert "merged_from_full_run" not in rec
+
+
+def test_vs_baseline_needs_both_inputs_from_same_run(bench, tmp_path,
+                                                     monkeypatch):
+    # the current run measured torch_cpu itself but not fixed-horizon: the
+    # cached ratio's inputs would mix runs, so vs_baseline must NOT merge
+    p = _full(bench, tmp_path, bench._code_hash())
+    monkeypatch.setattr(bench, "_FULL_RUN_PATH", str(p))
+    rec = bench._merge_full_run(_record(
+        baseline={"ours_tpu_fixed_horizon_eps_per_sec": None,
+                  "reference_torch_cpu_eps_per_sec": 0.7}), KIND)
+    assert rec["vs_baseline"] is None
+    assert "vs_baseline" not in rec["merged_from_full_run"]["fields"]
+    # fixed-horizon still fills (it is a standalone measurement)
+    assert rec["baseline"]["ours_tpu_fixed_horizon_eps_per_sec"] == 340.1
 
 
 def test_missing_full_run_is_noop(bench, tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "_FULL_RUN_PATH",
                         str(tmp_path / "nope.json"))
-    rec = bench._merge_full_run(_record())
+    rec = bench._merge_full_run(_record(), KIND)
     assert rec == _record()
 
 
@@ -109,5 +160,5 @@ def test_complete_record_gets_no_provenance_block(bench, tmp_path,
         extras={"duet_eval_episodes_per_sec_per_chip": 726.0,
                 "hamt_train_step_ms": 170.0},
         utilization_sweep={"hamt": []})
-    rec = bench._merge_full_run(dict(done))
+    rec = bench._merge_full_run(dict(done), KIND)
     assert rec == done

@@ -76,6 +76,17 @@ def test_eval_sampler_looped_detection():
     assert sorted(picked) == [0, 1, 2, 3, 4]  # each item exactly once
 
 
+def test_eval_sampler_batch_larger_than_split():
+    # bs > n (mesh rounding can raise bs above a tiny split): the wrapped
+    # duplicates inside ONE batch must not be fresh twice
+    s = A.EvalSampler(3, 8)
+    batches = list(s)
+    assert len(batches) == 1
+    idxs, fresh = batches[0]
+    picked = np.asarray(idxs)[fresh].tolist()
+    assert sorted(picked) == [0, 1, 2]
+
+
 def test_find_best_segment_exact_match():
     instr = ["[CLS]", "walk", "past", "the", "sofa", ".", "stop", "[SEP]"]
     start, end, score = N.find_best_segment(instr, ["walk", "past", "the",

@@ -220,3 +220,110 @@ def test_released_checkpoint_drill(tmp_path):
     assert set(per["instr_id"]) == set(val_ids)
     for k in ("success", "spl", "nDTW"):
         assert k in per and len(per[k]) == N_VAL
+
+
+@pytest.mark.slow
+def test_released_checkpoint_drill_duet(tmp_path):
+    """The DUET twin of the drill above: fabricate the same artifact set
+    plus a FULL-SCALE `iter_44000_SR_72.12_SPL_60.48_val_unseen` agent-save
+    built from the live reference GlocalTextPathNavCMT
+    (VLN-DUET/map_nav_src/r2r/agent_base.py:233-282 save format, incl. the
+    critic and DDP 'module.' prefixes), then run the literal MIGRATING.md
+    DUET eval command line and assert the submission schema of
+    main_nav.py:366-445's valid()."""
+    import test_reference_parity_duet as PD
+    from vln_imagine_tpu.config import duet_r2r_config
+
+    root = str(tmp_path)
+    conn_dir = os.path.join(root, "connectivity")
+    anno_dir = os.path.join(root, "annotations")
+    log_dir = os.path.join(root, "logs")
+    feat_file = os.path.join(root, "vit_features.hdf5")
+    imag_file = os.path.join(root, "imagine.hdf5")
+    flag_file = os.path.join(root, "generated_flags.json")
+    sub_file = os.path.join(root, "sub_instr.json")
+    ckpt = os.path.join(root, "iter_44000_SR_72.12_SPL_60.48_val_unseen")
+
+    # --- fabricate the artifact set ------------------------------------
+    cfg = duet_r2r_config()
+    world_np, graphs = synthetic_world(
+        num_scans=2, num_nodes=N_NODES,
+        max_candidates=cfg.env.max_candidates, views=36,
+        feat_dim=768, seed=10, with_features=False)
+    ep = synthetic_episodes(
+        world_np, batch=N_TRAIN + N_VAL,
+        max_gt_path_len=cfg.env.max_gt_path_len,
+        max_instr_len=cfg.env.max_instr_len, max_imaginations=3,
+        vocab_size=20000, feat_dim=768, seed=11)
+    rng = np.random.default_rng(12)
+    _write_connectivity(graphs, conn_dir)
+    train_ids = _write_annotations(graphs, ep, range(N_TRAIN), anno_dir,
+                                   "train", 0)
+    val_ids = _write_annotations(graphs, ep,
+                                 range(N_TRAIN, N_TRAIN + N_VAL), anno_dir,
+                                 "val_unseen", 100)
+    _write_features(graphs, feat_file, rng)
+    _write_imagination(train_ids + val_ids, imag_file, flag_file, sub_file,
+                       rng)
+
+    # --- the released agent-save checkpoint at FULL scale ---------------
+    V = PD._import_ref_duet()
+    torch.manual_seed(43)
+    ref = V.GlocalTextPathNavCMT(PD._ref_config(cfg.model)).eval()
+    torch.save({
+        "vln_bert": {"epoch": 6, "state_dict": _ddp(ref.state_dict()),
+                     "optimizer": _fake_optimizer_state(ref)},
+        "critic": {"epoch": 6,
+                   "state_dict": _ddp(_critic_state_dict(rng)),
+                   "optimizer": {"state": {}, "param_groups": []}},
+    }, ckpt)
+    del ref
+
+    # --- the literal MIGRATING.md command line ---------------------------
+    env = dict(os.environ)
+    env.update(VLN_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # plain 1-device CPU like a user's machine
+    cmd = [sys.executable, os.path.join(REPO, "scripts", "train.py"),
+           "--agent", "duet", "--eval-only", "--submit",
+           "--init-from-reference", ckpt,
+           "--connectivity-dir", conn_dir, "--anno-dir", anno_dir,
+           "--img-features", feat_file, "--imagine-features", imag_file,
+           "--generated-flag-file", flag_file, "--sub-instr-file", sub_file,
+           "--log-dir", log_dir, "--splits", "train", "val_unseen"]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=1500,
+                         env=env)
+    assert res.returncode == 0, f"STDOUT:\n{res.stdout}\nSTDERR:\n{res.stderr}"
+    assert "initialized from reference checkpoint" in res.stdout
+    assert "val_unseen:" in res.stdout and "sr=" in res.stdout
+
+    # --- submission schema == reference valid() output -------------------
+    with open(os.path.join(log_dir, "submit_val_unseen.json")) as f:
+        preds = json.load(f)
+    assert len(preds) == N_VAL
+    id_sets = {g.scan_id: set(g.node_ids) for g in graphs}
+    scan_of = {}
+    with open(os.path.join(anno_dir, "R2R_val_unseen_enc.json")) as f:
+        anno = json.load(f)
+    for it in anno:
+        scan_of[f"{it['path_id']}_0"] = it["scan"]
+    assert sorted(p["instr_id"] for p in preds) == sorted(val_ids)
+    starts = {f"{it['path_id']}_0": it["path"][0] for it in anno}
+    for p in preds:
+        traj = p["trajectory"]
+        assert isinstance(traj, list) and traj
+        scan = scan_of[p["instr_id"]]
+        for vp, heading, elevation in traj:
+            assert vp in id_sets[scan]
+            assert -2 * math.pi <= float(heading) <= 2 * math.pi
+            assert abs(float(elevation)) <= math.pi / 2
+        # DUET teleports along graph paths: consecutive trajectory nodes
+        # must be graph neighbours (make_equiv_action appends the full
+        # path, agent.py:289-305)
+        assert p["trajectory"][0][0] == starts[p["instr_id"]]
+
+    with open(os.path.join(log_dir,
+                           "individual_metrics_val_unseen.json")) as f:
+        per = json.load(f)
+    assert set(per["instr_id"]) == set(val_ids)
+    for k in ("success", "spl", "nDTW"):
+        assert k in per and len(per[k]) == N_VAL

@@ -415,6 +415,11 @@ class EvalSampler:
         while len(self.seen) < self.n:
             idxs = [(self.ix + k) % self.n for k in range(self.bs)]
             self.ix = (self.ix + self.bs) % self.n
-            fresh = np.array([i not in self.seen for i in idxs])
-            self.seen.update(idxs)
+            # mark as seen item by item so WITHIN-batch duplicates (bs > n,
+            # e.g. after the driver's mesh rounding raised bs above a tiny
+            # split) are not fresh twice and never scored twice
+            fresh = np.empty(len(idxs), bool)
+            for k, i in enumerate(idxs):
+                fresh[k] = i not in self.seen
+                self.seen.add(i)
             yield np.asarray(idxs), fresh
