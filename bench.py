@@ -647,6 +647,16 @@ def _merge_full_run(record, device_kind=None):
     return record
 
 
+def _fixed_from_sweep(sweep, batch=BATCH):
+    """The sweep's batch-BATCH hamt point measures the SAME program as the
+    hamt_fixed lane (fixed-horizon eval at BATCH); when that lane was cut by
+    a cold-cache compile timeout, the sweep measurement stands in."""
+    for p in sweep.get("hamt") or []:
+        if p.get("batch") == batch and p.get("value"):
+            return p["value"]
+    return None
+
+
 def _force_cpu():
     """CPU-only lanes must never touch the (possibly stalled) TPU backend.
     The axon site config overrides JAX_PLATFORMS, so go through jax.config."""
@@ -837,9 +847,12 @@ def main(full: bool = False):
     if left() > 120:
         if not full:
             os.environ.setdefault("VLN_FIXED_ITERS", "5")
+        # full mode raises the cap: the r05 full run measured a cold-cache
+        # fixed-horizon compile over the tunnel at >300 s
         fixed_eps = _run_lane(
             "hamt_fixed",
-            timeout_s=max(min(left() - TORCH_RESERVE, 300), 150))
+            timeout_s=max(min(left() - TORCH_RESERVE,
+                              900 if full else 300), 150))
         mark("hamt fixed-horizon eval done")
     torch_cpu_eps = None
     jax_cpu_eps = None
@@ -951,6 +964,12 @@ def main(full: bool = False):
     if left() > 60:
         jax_cpu_eps = _run_lane("jax_cpu", timeout_s=left())
         mark("jax-cpu anchor done")
+
+    # the sweep's batch-8 hamt point IS the fixed-horizon program: route it
+    # into baseline.ours_tpu_fixed_horizon_eps_per_sec / vs_baseline when the
+    # dedicated lane was cut by a compile timeout
+    if fixed_eps is None:
+        fixed_eps = _fixed_from_sweep(sweep)
 
     record = {
         "metric": "hamt_eval_episodes_per_sec_per_chip",

@@ -149,6 +149,21 @@ def test_missing_full_run_is_noop(bench, tmp_path, monkeypatch):
     assert rec == _record()
 
 
+def test_fixed_from_sweep_picks_batch8_point(bench):
+    sweep = {"hamt": [{"batch": 8, "value": 404.5},
+                      {"batch": 64, "value": 483.0}]}
+    assert bench._fixed_from_sweep(sweep) == 404.5
+
+
+def test_fixed_from_sweep_ignores_missing_values(bench):
+    # a timed-out sweep point carries no value; other batches don't stand in
+    assert bench._fixed_from_sweep({"hamt": [{"batch": 8, "value": None},
+                                             {"batch": 64, "value": 483.0}]}
+                                   ) is None
+    assert bench._fixed_from_sweep({"hamt": []}) is None
+    assert bench._fixed_from_sweep({}) is None
+
+
 def test_complete_record_gets_no_provenance_block(bench, tmp_path,
                                                   monkeypatch):
     p = _full(bench, tmp_path, bench._code_hash())

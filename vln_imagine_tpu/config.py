@@ -257,9 +257,9 @@ def hamt_r2r_config() -> Config:
     # (agent_cmt.py:807-832, feedback='sample').  eval_batch_size: greedy
     # eval is per-item independent, so batching is pure occupancy; 64 is
     # the measured throughput peak of the fixed-horizon rollout on v5e
-    # (full-rollout sweep 8/32/64/128 -> 372/460/476/442 eps/s; bench.py
-    # utilization_sweep tracks the curve.  The reference evaluates at
-    # train bs 8, main.py:329-344, because its rollout is a host loop)
+    # (sweep 8/32/64/128/512 -> 404/476/483/446/333 eps/s,
+    # bench_full.json utilization_sweep.hamt, r05.  The reference
+    # evaluates at train bs 8, main.py:329-344 — its rollout is a host loop)
     cfg = _replace(cfg, "train", train_alg="sample", eval_batch_size=64)
     return cfg
 
@@ -274,8 +274,12 @@ def duet_r2r_config() -> Config:
         fix_lang_inside_cosine_model=True, fusion="dynamic",
     )
     cfg = _replace(cfg, "env", max_instr_len=200)
+    # eval_batch_size 64: the DUET fixed-horizon eval sweep on v5e peaks at
+    # batch 64 (242/289/305/269 eps/s at 8/32/64/128 — bench_full.json
+    # utilization_sweep.duet, r05) and regresses past it, same shape as the
+    # HAMT curve above
     cfg = _replace(cfg, "train", train_alg="dagger", gamma=0.0,
-                   eval_batch_size=128)
+                   eval_batch_size=64)
     return cfg
 
 
