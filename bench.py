@@ -671,10 +671,15 @@ def _lane_main(lane: str):
     _enable_cache()
     seconds = float(os.environ.get("VLN_LANE_SECONDS", "60"))
     if lane == "probe":
-        # liveness: one tiny transfer + op; no compile-heavy work
+        # liveness: one tiny transfer + op + READBACK; no compile-heavy
+        # work.  The readback matters: a half-wedged tunnel can accept
+        # host->device transfers and execute programs while the
+        # device->host direction hangs forever (observed r05) — without it
+        # every timing lane would pass the probe then stall on its first
+        # fetch until the hard-deadline alarm
         x = jax.device_put(jnp.arange(8.0))
-        jax.block_until_ready(x + 1.0)
-        out = {"lane": lane, "ok": True,
+        got = float(np.asarray(jax.block_until_ready(x + 1.0))[3])
+        out = {"lane": lane, "ok": got == 4.0,
                "platform": jax.devices()[0].platform,
                "device_kind": jax.devices()[0].device_kind}
     elif lane == "torch_cpu":
