@@ -164,6 +164,39 @@ def test_fixed_from_sweep_ignores_missing_values(bench):
     assert bench._fixed_from_sweep({}) is None
 
 
+def test_committed_artifact_is_mergeable(bench):
+    """Canary against the real committed bench_full.json: it must parse,
+    carry the merge-guard fields, and — when its code hash still matches
+    the working tree — actually fill a budget-cut record.  A skip here
+    means a compute-path edit landed without re-capturing the artifact, so
+    the driver's budgeted end-of-round bench will NOT merge the full
+    surface (extras/sweep): re-run `python bench.py --full` on the chip."""
+    try:
+        with open("/root/repo/bench_full.json") as f:
+            full = json.load(f)
+    except FileNotFoundError:
+        pytest.skip("no committed bench_full.json")
+    assert full.get("device_kind"), "artifact missing the same-chip guard"
+    assert full.get("captured_at") and full.get("code_hash")
+    rec = full.get("record", {})
+    assert rec.get("value"), "artifact carries no headline measurement"
+    if full["code_hash"] != bench._code_hash():
+        pytest.skip(
+            "bench_full.json code hash is STALE (compute-path edit since "
+            "capture): budgeted runs will not merge it — re-capture with "
+            "`python bench.py --full` on the live chip")
+    merged = bench._merge_full_run(_record(
+        extras={"duet_eval_episodes_per_sec_per_chip": None,
+                "hamt_train_step_ms": None}), full["device_kind"])
+    assert "merged_from_full_run" in merged
+    # every non-null lane the artifact carries must actually fill in
+    for k, v in (rec.get("extras") or {}).items():
+        if v is not None:
+            assert merged["extras"][k] == v
+    if rec.get("utilization_sweep") is not None:
+        assert merged["utilization_sweep"] == rec["utilization_sweep"]
+
+
 def test_complete_record_gets_no_provenance_block(bench, tmp_path,
                                                   monkeypatch):
     p = _full(bench, tmp_path, bench._code_hash())
